@@ -1,0 +1,302 @@
+"""Receding-horizon MPC drivers (L4 of SURVEY.md §1).
+
+Replaces the reference's hand-rolled `while` loops
+(/root/reference/AllScripts/mpc_online_casadi_tb3_six_multi_centralized_collision_free.py:338-427)
+with a single jitted `lax.scan` over control steps: pack params -> warm-start
+-> solve -> apply first control -> advance plant -> shift. Convergence is a
+mask (fixed shapes under jit); once a scenario converges its control is zero
+and its state frozen, exactly like the reference's stop-and-publish-zeros
+epilogue (:429-449).
+
+Modes (mirroring the reference families of SURVEY.md §2.2):
+  closed_loop            point stabilization (families C/E/F/G)
+  closed_loop_waypoints  goal-sequence state machine
+                         (centralized_one_robots_implementation.py:176-187,236-247)
+  closed_loop_tracking   time-varying reference regenerated every step
+                         (mpc_control_trajectory_tracking.py:126-127)
+  plan_then_replay       converge offline against the model, then replay the
+                         stored controls through the plant (casadi_test_mpc.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nmpc_tpu.ocp import problem as P
+from nmpc_tpu.ocp.problem import OCP
+from nmpc_tpu.sim.plant import PlantConfig, plant_step
+from nmpc_tpu.solver.alilqr import ALILQRConfig, SolveResult, WarmStart, cold_start, solve
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Driver options (static)."""
+
+    max_steps: int = 200
+    stop_tol: float = 1e-1     # ||x - xs|| loop-exit threshold (:338; 5e-2 single-robot)
+    advance_tol: float = 0.075 # waypoint advance threshold (one_robot_impl:239)
+    mu_reset: bool = True      # reset penalty weight each step (multipliers
+                               # are kept — they carry the active set; a
+                               # carried-over stiff mu makes warm inner solves
+                               # stall after one iteration)
+    # Parking-saddle escape: the unicycle OCP has a genuine stationary point
+    # when the position error is perpendicular to the heading (verified: the
+    # SLSQP oracle also returns u ~ 0 there). The reference escapes it only
+    # via Gazebo/odometry noise; this deterministic fallback rotates toward
+    # the bearing of the goal whenever the solver returns a ~zero control
+    # while the error is still above tolerance. Off = reference-faithful.
+    escape: bool = False
+    escape_u_tol: float = 1e-3
+    escape_gain: float = 1.5
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "X_hist",
+        "U_hist",
+        "err_hist",
+        "cost_hist",
+        "viol_hist",
+        "iter_hist",
+        "min_dist_hist",
+        "steps_used",
+        "reached",
+        "goal_idx_hist",
+    ),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class MPCResult:
+    X_hist: jax.Array        # [S+1, nx] realized states (xx in the reference)
+    U_hist: jax.Array        # [S, nu]  applied first controls (u_cl)
+    err_hist: jax.Array      # [S] ||x - xs|| before each step
+    cost_hist: jax.Array     # [S] OCP objective per solve
+    viol_hist: jax.Array     # [S] max constraint violation per solve
+    iter_hist: jax.Array     # [S] inner iterations per solve
+    min_dist_hist: jax.Array # [S+1] min realized pairwise distance (inf if m==1)
+    steps_used: jax.Array    # scalar int
+    reached: jax.Array       # scalar bool
+    goal_idx_hist: jax.Array # [S] active waypoint index (zeros unless waypoint mode)
+
+
+def shift_warm(res: SolveResult, cfg: ALILQRConfig, mu_reset: bool = False) -> WarmStart:
+    """Reference `shift()` semantics — drop the first stage, repeat the last
+    (six-robot file :90-99 for u0, :382-387 for X0) — applied to controls and
+    per-stage multipliers. The state trajectory needs no explicit shift here:
+    the solver re-rolls states from the new measurement (single-shooting
+    iterates), which reproduces the reference's X0 re-seeding."""
+    U = jnp.concatenate([res.U[1:], res.U[-1:]], axis=0)
+    lam = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+    mu = jnp.asarray(cfg.mu_init, res.mu.dtype) if mu_reset else res.mu
+    return WarmStart(U=U, lam=lam, mu=mu)
+
+
+def _wrap_angle(a):
+    return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=None):
+    """Sticky per-robot parking mode (see MPCConfig.escape).
+
+    A robot enters parking mode when the solver hands it a ~zero control while
+    it still carries pose error (the nonholonomic saddle), and *stays* in it
+    until the error clears — handing control straight back to the myopic MPC
+    would just rotate the robot back onto the saddle. The parking law is the
+    classic polar controller: turn to the goal bearing, drive, then align the
+    goal heading. Returns (blended control, updated flags)."""
+    m = ocp.m
+    pose = x[: 3 * m].reshape(m, 3)
+    gpos = goal[: 3 * m].reshape(m, 3)
+    ex, ey = gpos[:, 0] - pose[:, 0], gpos[:, 1] - pose[:, 1]
+    dist = jnp.hypot(ex, ey)
+    bearing = jnp.arctan2(ey, ex)
+    delta = _wrap_angle(bearing - pose[:, 2])
+    dth = _wrap_angle(gpos[:, 2] - pose[:, 2])
+    err_i = jnp.sqrt(dist * dist + dth * dth)
+
+    tol = mpc.stop_tol if tol is None else tol
+    thresh = tol / jnp.sqrt(jnp.asarray(float(m), x.dtype))
+    u_mpc = u0.reshape(m, 2)
+    stalled = (jnp.max(jnp.abs(u_mpc), axis=-1) < mpc.escape_u_tol) & (err_i > 0.7 * thresh)
+    esc = (esc_flags | stalled) & (err_i > 0.35 * thresh) & (~done)
+
+    v_hi = ocp.u_hi[0 :: 2][:m]
+    w_hi = ocp.u_hi[1 :: 2][:m]
+    far = dist > 0.35 * thresh
+    aligned = jnp.abs(delta) < 1.0
+    v = jnp.where(far & aligned, jnp.clip(mpc.escape_gain * dist * jnp.cos(delta), -v_hi, v_hi), 0.0)
+    w = jnp.where(far, jnp.clip(mpc.escape_gain * delta, -w_hi, w_hi),
+                  jnp.clip(mpc.escape_gain * dth, -w_hi, w_hi))
+    u_esc = jnp.stack([v, w], axis=-1)
+    u = jnp.where(esc[:, None], u_esc, u_mpc).reshape(2 * m)
+    return u, esc
+
+
+def _min_pair_dist(ocp: OCP, x):
+    if ocp.n_pairs == 0:
+        return jnp.asarray(jnp.inf, x.dtype)
+    return jnp.sqrt(jnp.min(P.pairwise_sq_distances(ocp, x)))
+
+
+def _scan_loop(ocp_t: OCP, step_fn, carry0, mpc: MPCConfig):
+    carryF, ys = jax.lax.scan(step_fn, carry0, jnp.arange(mpc.max_steps))
+    doneF, stepsF = carryF[2], carryF[3]
+    xs_hist, u_hist, err, cost, viol, iters, mind, goal_hist = ys
+    X_hist = jnp.concatenate([carry0[0][None], xs_hist], axis=0)
+    min_dist = jnp.concatenate(
+        [_min_pair_dist(ocp_t, carry0[0])[None], mind], axis=0
+    )
+    return MPCResult(
+        X_hist=X_hist,
+        U_hist=u_hist,
+        err_hist=err,
+        cost_hist=cost,
+        viol_hist=viol,
+        iter_hist=iters,
+        min_dist_hist=min_dist,
+        steps_used=stepsF,
+        reached=doneF,
+        goal_idx_hist=goal_hist,
+    )
+
+
+def closed_loop(
+    ocp: OCP,
+    solver_cfg: ALILQRConfig = ALILQRConfig(),
+    mpc: MPCConfig = MPCConfig(),
+    plant: PlantConfig = PlantConfig(),
+    warm: WarmStart | None = None,
+    key: jax.Array | None = None,
+) -> MPCResult:
+    """Point stabilization: run MPC until ||x - xs|| <= stop_tol (masked).
+    Pass `key` to enable the plant's noise models (Gazebo stand-in)."""
+    goal = ocp.xref[-1]
+    warm0 = cold_start(ocp, solver_cfg) if warm is None else warm
+
+    def step(carry, k):
+        x, w, done, steps, gidx, esc = carry
+        err = jnp.linalg.norm(x - goal)
+        done = done | (err <= mpc.stop_tol)
+        ocp_k = dataclasses.replace(ocp, x0=x)
+        res = solve(ocp_k, w, solver_cfg)
+        u0 = jnp.where(done, 0.0, res.U[0])
+        if mpc.escape:
+            u0, esc = _escape_control(ocp, mpc, x, goal, u0, esc, done)
+        step_key = None if key is None else jax.random.fold_in(key, k)
+        x_next, _ = plant_step(x, u0, ocp.T, plant, step_key)
+        x_next = jnp.where(done, x, x_next)
+        w_next = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset)
+        )
+        steps = steps + jnp.where(done, 0, 1)
+        out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
+               _min_pair_dist(ocp, x_next), gidx)
+        return (x_next, w_next, done, steps, gidx, esc), out
+
+    carry0 = (ocp.x0, warm0, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+              jnp.zeros((), jnp.int32), jnp.zeros((ocp.m,), bool))
+    return _scan_loop(ocp, step, carry0, mpc)
+
+
+def closed_loop_waypoints(
+    ocp: OCP,
+    waypoints: jax.Array,  # [G, nx] goal sequence
+    solver_cfg: ALILQRConfig = ALILQRConfig(),
+    mpc: MPCConfig = MPCConfig(),
+    plant: PlantConfig = PlantConfig(),
+) -> MPCResult:
+    """Goal-sequence tour: advance to the next waypoint when the full-pose
+    error drops below advance_tol; stop after the last waypoint."""
+    G = waypoints.shape[0]
+
+    def step(carry, _):
+        x, w, done, steps, gidx, esc = carry
+        goal = waypoints[jnp.minimum(gidx, G - 1)]
+        err = jnp.linalg.norm(x - goal)
+        advance = (err < mpc.advance_tol) & (~done)
+        gidx = gidx + advance.astype(jnp.int32)
+        esc = esc & (~advance)  # new goal -> leave parking mode
+        done = done | (gidx >= G)
+        goal = waypoints[jnp.minimum(gidx, G - 1)]
+        # waypoint goals are poses; pad ray states with zero reference
+        goal_full = goal if goal.shape[0] == ocp.nx else jnp.concatenate(
+            [goal, jnp.zeros((ocp.nx - goal.shape[0],), goal.dtype)]
+        )
+        ocp_k = dataclasses.replace(
+            ocp, x0=x, xref=jnp.tile(goal_full[None, :], (ocp.N, 1))
+        )
+        res = solve(ocp_k, w, solver_cfg)
+        u0 = jnp.where(done, 0.0, res.U[0])
+        if mpc.escape:
+            u0, esc = _escape_control(ocp, mpc, x, goal_full, u0, esc, done, tol=mpc.advance_tol)
+        x_next, _ = plant_step(x, u0, ocp.T, plant)
+        x_next = jnp.where(done, x, x_next)
+        w_next = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset)
+        )
+        steps = steps + jnp.where(done, 0, 1)
+        out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
+               _min_pair_dist(ocp, x_next), gidx)
+        return (x_next, w_next, done, steps, gidx, esc), out
+
+    warm0 = cold_start(ocp, solver_cfg)
+    carry0 = (ocp.x0, warm0, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+              jnp.zeros((), jnp.int32), jnp.zeros((ocp.m,), bool))
+    return _scan_loop(ocp, step, carry0, mpc)
+
+
+def closed_loop_tracking(
+    ocp: OCP,
+    ref_fn,  # jittable: t (scalar) -> [N, nx] stage reference
+    solver_cfg: ALILQRConfig = ALILQRConfig(),
+    mpc: MPCConfig = MPCConfig(),
+    plant: PlantConfig = PlantConfig(),
+) -> MPCResult:
+    """Trajectory tracking: the stage reference is regenerated every control
+    period from `ref_fn(t)` — the reference rebuilds Xref from wall-clock time
+    each step (mpc_control_trajectory_tracking.py:126-127). Runs for
+    max_steps (no convergence exit; tracking never 'arrives')."""
+
+    def step(carry, k):
+        x, w, done, steps, gidx = carry
+        t = k.astype(x.dtype) * ocp.T
+        xref = ref_fn(t)
+        ocp_k = dataclasses.replace(ocp, x0=x, xref=xref)
+        res = solve(ocp_k, w, solver_cfg)
+        u0 = res.U[0]
+        x_next, _ = plant_step(x, u0, ocp.T, plant)
+        err = jnp.linalg.norm(x - xref[0])
+        w_next = shift_warm(res, solver_cfg, mpc.mu_reset)
+        out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
+               _min_pair_dist(ocp, x_next), gidx)
+        return (x_next, w_next, done, steps + 1, gidx), out
+
+    warm0 = cold_start(ocp, solver_cfg)
+    carry0 = (ocp.x0, warm0, jnp.zeros((), bool), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    return _scan_loop(ocp, step, carry0, mpc)
+
+
+def plan_then_replay(
+    ocp: OCP,
+    solver_cfg: ALILQRConfig = ALILQRConfig(),
+    mpc: MPCConfig = MPCConfig(),
+    plant: PlantConfig = PlantConfig(),
+):
+    """casadi_test_mpc.py semantics: converge the MPC offline against the
+    model (shift() integrates the model instead of reading odometry), then
+    replay the stored u_cl through the (possibly different) plant at period T.
+    Returns (offline MPCResult, replayed X trajectory)."""
+    offline = closed_loop(ocp, solver_cfg, mpc, PlantConfig())
+
+    def replay_step(x, u):
+        x_next, _ = plant_step(x, u, ocp.T, plant)
+        return x_next, x_next
+
+    _, X_replay = jax.lax.scan(replay_step, ocp.x0, offline.U_hist)
+    X_replay = jnp.concatenate([ocp.x0[None], X_replay], axis=0)
+    return offline, X_replay

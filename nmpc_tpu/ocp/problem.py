@@ -168,7 +168,11 @@ def make_ocp(
     nx_pose = 3 * m
     nx = nx_pose + num_rays
     nu = 2 * m
-    x0 = jnp.asarray(x0, dtype).reshape(nx)
+    x0 = jnp.asarray(x0, dtype).reshape(-1)
+    if num_rays and x0.shape[0] == nx_pose:
+        # seed ray states at the LiDAR range cap (Scan init 3.5 m, v4 :66)
+        x0 = jnp.concatenate([x0, jnp.full((num_rays,), 3.5, dtype)])
+    x0 = x0.reshape(nx)
     if xref is None:
         assert x_goal is not None, "need x_goal or xref"
         goal = jnp.asarray(x_goal, dtype).reshape(nx_pose)
@@ -314,10 +318,14 @@ def trajectory_constraints(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
 
 
 def al_penalty(c: jax.Array, lam: jax.Array, mu) -> jax.Array:
-    """Powell-Hestenes-Rockafellar penalty for c >= 0:
-    phi = (max(0, lam - mu c)^2 - lam^2) / (2 mu), summed."""
+    """Powell-Hestenes-Rockafellar penalty for c >= 0, summed.
+
+    The conventional PHR term is (max(0, lam - mu c)^2 - lam^2) / (2 mu); the
+    -lam^2 part is constant in the decision variables, so we drop it — same
+    minimizer, and the merit keeps full f32 resolution (important on TPU:
+    subtracting a large constant would swamp line-search decrements)."""
     act = jnp.maximum(0.0, lam - mu * c)
-    return jnp.sum(act * act - lam * lam) / (2.0 * mu)
+    return jnp.sum(act * act) / (2.0 * mu)
 
 
 def max_violation(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:

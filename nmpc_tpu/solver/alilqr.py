@@ -45,16 +45,17 @@ from nmpc_tpu.ocp.problem import OCP
 class ALILQRConfig:
     """Solver options (static: hashable, part of the compiled program)."""
 
-    n_outer: int = 8          # AL multiplier updates
-    n_inner: int = 20         # max iLQR iterations per outer step
+    n_outer: int = 12         # AL multiplier updates
+    n_inner: int = 25         # max iLQR iterations per outer step
     mu_init: float = 10.0     # initial penalty weight
-    mu_factor: float = 5.0    # penalty growth per outer step
-    mu_max: float = 1e4       # cap (f32-friendly conditioning)
+    mu_factor: float = 10.0   # penalty growth per outer step
+    mu_max: float = 1e4       # cap (f32-friendly conditioning; lam does the rest)
     reg: float = 1e-6         # fixed Levenberg regularizer on Quu
-    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)
     tol_cost: float = 1e-7    # relative merit-decrease stop (inner)
     tol_con: float = 1e-4     # max constraint violation stop (outer)
     lam_max: float = 1e6      # multiplier clip
+    armijo: float = 1e-4      # accept fraction of expected decrease
 
 
 @partial(
@@ -211,7 +212,10 @@ def _forward_rollout(ocp: OCP, X, U, kff, Kfb, alpha):
     return Xn, Un
 
 
-def _line_search(ocp: OCP, cfg: ALILQRConfig, X, U, kff, Kfb, lam, mu, cost0):
+def _line_search(ocp: OCP, cfg: ALILQRConfig, X, U, kff, Kfb, lam, mu, cost0, dV1):
+    """All candidate steps evaluated in parallel (vmap over alphas) — a TPU
+    batch instead of IPOPT's sequential backtracking. Accepts the best
+    candidate achieving an Armijo fraction of the expected LQR decrease."""
     alphas = jnp.asarray(cfg.alphas, X.dtype)
 
     def try_alpha(alpha):
@@ -219,8 +223,11 @@ def _line_search(ocp: OCP, cfg: ALILQRConfig, X, U, kff, Kfb, lam, mu, cost0):
         return Xn, Un, P.al_total_cost(ocp, Xn, Un, lam, mu)
 
     Xs, Us, costs = jax.vmap(try_alpha)(alphas)
-    best = jnp.argmin(costs)
-    improved = costs[best] < cost0
+    expected = cfg.armijo * alphas * jnp.maximum(-dV1, 0.0)
+    ok = (cost0 - costs) >= expected
+    masked = jnp.where(ok, costs, jnp.inf)
+    best = jnp.argmin(masked)
+    improved = ok[best] & (costs[best] < cost0)
     Xn = jnp.where(improved, Xs[best], X)
     Un = jnp.where(improved, Us[best], U)
     cost = jnp.where(improved, costs[best], cost0)
@@ -242,7 +249,7 @@ def _inner_ilqr(ocp: OCP, cfg: ALILQRConfig, X, U, lam, mu):
     def body(carry):
         X, U, cost, it, _ = carry
         kff, Kfb, dV1, _ = _backward_pass(ocp, cfg, X, U, lam, mu)
-        Xn, Un, costn, improved = _line_search(ocp, cfg, X, U, kff, Kfb, lam, mu, cost)
+        Xn, Un, costn, improved = _line_search(ocp, cfg, X, U, kff, Kfb, lam, mu, cost, dV1)
         rel_drop = (cost - costn) / (1.0 + jnp.abs(cost))
         done = (~improved) | (rel_drop < cfg.tol_cost)
         return (Xn, Un, costn, it + 1, done)

@@ -1,0 +1,160 @@
+"""Closed-loop MPC driver tests (L4+L5): the reference's Gazebo runs as
+on-device simulations (SURVEY.md §4 point 2-3)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmpc_tpu.mpc.driver import (
+    MPCConfig,
+    closed_loop,
+    closed_loop_tracking,
+    closed_loop_waypoints,
+    plan_then_replay,
+    shift_warm,
+)
+from nmpc_tpu.ocp.problem import make_ocp
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
+
+FAST = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-4)
+
+
+def test_shift_semantics():
+    # shift(): u0 <- [u[1:]; u[-1]] (six-robot file :90-99)
+    ocp = make_ocp(m=1, N=5, T=0.1, x0=[0, 0, 0], x_goal=[1, 1, 0])
+    res = jax.jit(functools.partial(solve, cfg=FAST))(ocp)
+    w = shift_warm(res, FAST)
+    np.testing.assert_allclose(w.U[:-1], res.U[1:], rtol=1e-6)
+    np.testing.assert_allclose(w.U[-1], res.U[-1], rtol=1e-6)
+
+
+def test_single_robot_point_stabilization():
+    # mpc_online_casadi.py closed loop: stop at ||x-xs|| <= 5e-2 (:168).
+    # T=0.1/N=25 variant of the config for CPU test speed (the T=0.01 original
+    # needs >2000 steps just to cover the distance; exercised in the slow test)
+    sc = get("single_robot")
+    ocp = sc.make(N=25, T=0.1)
+    mpc = MPCConfig(max_steps=300, stop_tol=5e-2, escape=True)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    assert bool(r.reached)
+    x_final = np.array(r.X_hist[-1])
+    assert np.linalg.norm(x_final - np.array([1.0, 1.5, 0.0])) <= 5e-2 + 1e-6
+
+
+@pytest.mark.slow
+def test_single_robot_reference_config():
+    # the exact mpc_online_casadi.py config (T=0.01, N=50), parking escape on
+    sc = get("single_robot")
+    ocp = sc.make()
+    mpc = MPCConfig(max_steps=2500, stop_tol=5e-2, escape=True)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    assert bool(r.reached)
+
+
+def test_two_robot_swap_closed_loop_collision_free():
+    sc = get("two_robot_swap")
+    # reference horizon N=100 at T=0.02; shrink steps via T=0.1/N=25 variant
+    # to keep the CPU test fast while preserving the swap geometry
+    ocp = sc.make(N=25, T=0.1)
+    mpc = MPCConfig(max_steps=250, stop_tol=1e-1, escape=True)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    assert bool(r.reached)
+    assert float(np.min(np.array(r.min_dist_hist))) >= 0.25 - 5e-3
+
+
+@pytest.mark.slow
+def test_six_robot_antipodal_headline():
+    """Paper headline: six robots swap antipodally on the unit circle,
+    collision-free and deadlock-free (all cross the center region)."""
+    sc = get("six_robot_antipodal")
+    ocp = sc.make()
+    # escape=True: the noiseless sim otherwise parks at the nonholonomic
+    # saddle ~0.11 from the 18-dim goal (the reference exits below 0.1 only
+    # thanks to Gazebo odometry noise; verified the SLSQP oracle also returns
+    # u=0 there). The sticky parking mode resolves it deterministically.
+    mpc = MPCConfig(max_steps=120, stop_tol=1e-1, escape=True)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    X = np.array(r.X_hist)
+    # collision-free: realized min pairwise distance never below dmin
+    assert float(np.min(np.array(r.min_dist_hist))) >= 0.3 - 5e-3
+    # deadlock-free + converged: full 18-dim error under the reference's 0.1
+    assert bool(r.reached)
+    # each robot traveled ~2 units (crossed the circle)
+    finals = X[-1].reshape(6, 3)
+    travel = np.hypot(finals[:, 0] - X[0].reshape(6, 3)[:, 0],
+                      finals[:, 1] - X[0].reshape(6, 3)[:, 1])
+    assert travel.min() > 1.5
+
+
+def test_waypoint_tour():
+    sc = get("first_scenario")
+    ocp = sc.make(N=25)
+    wps = sc.waypoint_array
+    # 6 legs ~ 7 m of path at v<=0.22, T=0.05 -> ~1000 steps plus parking
+    mpc = MPCConfig(max_steps=1600, advance_tol=sc.advance_tol, escape=True)
+    r = jax.jit(
+        functools.partial(closed_loop_waypoints, waypoints=wps, solver_cfg=FAST, mpc=mpc)
+    )(ocp)
+    assert bool(r.reached)  # visited all 6 waypoints
+    assert int(r.goal_idx_hist[-1]) == wps.shape[0]
+    # final waypoint is the origin
+    assert np.linalg.norm(np.array(r.X_hist[-1]) - np.array(wps[-1])) < sc.advance_tol + 1e-6
+
+
+def test_trajectory_tracking():
+    # mpc_control_trajectory_tracking.py: Xref = [cos(0.1 t), sin(0.1 t), 0]
+    ocp = make_ocp(m=1, N=10, T=0.5, x0=[1, 0, 0], x_goal=[1, 0, 0])
+
+    def ref_fn(t):
+        p = jnp.array([jnp.cos(0.1 * t), jnp.sin(0.1 * t), 0.0])
+        return jnp.tile(p[None, :], (10, 1))
+
+    mpc = MPCConfig(max_steps=80)
+    r = jax.jit(
+        functools.partial(closed_loop_tracking, ref_fn=ref_fn, solver_cfg=FAST, mpc=mpc)
+    )(ocp)
+    # after transient, positional tracking error stays small (theta reference
+    # is fixed at 0 while the heading must run tangent — position is what the
+    # reference script actually tracks)
+    X = np.array(r.X_hist)
+    ts = np.arange(X.shape[0]) * 0.5
+    ref = np.stack([np.cos(0.1 * ts), np.sin(0.1 * ts)], axis=-1)
+    pos_err = np.hypot(X[:, 0] - ref[:, 0], X[:, 1] - ref[:, 1])
+    assert pos_err[40:].mean() < 0.2
+
+
+def test_plan_then_replay():
+    # casadi_test_mpc.py: offline convergence then open-loop replay
+    ocp = make_ocp(m=1, N=25, T=0.1, x0=[0, 0, 0], x_goal=[1, 1, 0])
+    mpc = MPCConfig(max_steps=150, stop_tol=5e-2)
+    offline, X_replay = jax.jit(
+        functools.partial(plan_then_replay, solver_cfg=FAST, mpc=mpc)
+    )(ocp)
+    assert bool(offline.reached)
+    # replay through the identical plant reproduces the offline trajectory
+    np.testing.assert_allclose(
+        np.array(X_replay[-1]), np.array(offline.X_hist[-1]), atol=1e-4
+    )
+
+
+def test_obstacle_waypoint_closed_loop():
+    sc = get("obstacle_scenario_1")
+    ocp = sc.make(N=25)
+    mpc = MPCConfig(max_steps=250, advance_tol=sc.advance_tol)
+    r = jax.jit(
+        functools.partial(
+            closed_loop_waypoints,
+            waypoints=jnp.asarray(sc.waypoints[:2], jnp.float32),
+            solver_cfg=FAST,
+            mpc=mpc,
+        )
+    )(ocp)
+    X = np.array(r.X_hist)
+    d = np.hypot(X[:, 0] - 0.4, X[:, 1] - 1.1)
+    # realized clearance from the obstacle never dips below r_rob + r_obs
+    assert d.min() >= 0.15 + 0.15 - 1e-2
+    assert int(r.goal_idx_hist[-1]) >= 1  # reached at least the first goal
