@@ -77,7 +77,8 @@ def test_six_robot_antipodal_headline():
     # thanks to Gazebo odometry noise; verified the SLSQP oracle also returns
     # u=0 there). The sticky parking mode resolves it deterministically.
     mpc = MPCConfig(max_steps=120, stop_tol=1e-1, escape=True)
-    r = jax.jit(functools.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    strong = ALILQRConfig(n_outer=15, n_inner=25, tol_con=1e-4)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=strong, mpc=mpc))(ocp)
     X = np.array(r.X_hist)
     # collision-free: realized min pairwise distance never below dmin
     assert float(np.min(np.array(r.min_dist_hist))) >= 0.3 - 5e-3
