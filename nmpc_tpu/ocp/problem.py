@@ -70,8 +70,9 @@ def pair_indices(m: int):
         "obs_margin",
         "inv_dist_weight",
         "p_obs",
+        "mov_obs",
     ),
-    meta_fields=("m", "N", "n_obs", "num_rays", "integrator", "collision"),
+    meta_fields=("m", "N", "n_obs", "num_rays", "integrator", "collision", "n_mov"),
 )
 @dataclasses.dataclass(frozen=True)
 class OCP:
@@ -93,6 +94,7 @@ class OCP:
     num_rays: int
     integrator: str
     collision: bool
+    n_mov: int
 
     # --- traced data ---
     T: jax.Array
@@ -110,6 +112,11 @@ class OCP:
     obs_margin: jax.Array
     inv_dist_weight: jax.Array
     p_obs: jax.Array
+    # Per-stage moving obstacles [N, n_mov, 2] — neighbor plans in the
+    # decentralized mode (SURVEY.md §2.4): each robot treats the other robots'
+    # previously exchanged trajectories as time-indexed keep-out discs with
+    # the same squared-distance bound dmin2 as the centralized pair rows.
+    mov_obs: jax.Array
 
     @property
     def nx(self) -> int:
@@ -126,7 +133,13 @@ class OCP:
     @property
     def n_con(self) -> int:
         """Inequality rows per stage (canonical c >= 0)."""
-        return self.n_pairs + self.m * self.n_obs + 2 * self.nu + 2 * self.nx
+        return (
+            self.n_pairs
+            + self.m * self.n_obs
+            + self.m * self.n_mov
+            + 2 * self.nu
+            + 2 * self.nx
+        )
 
 
 def default_weights(m: int, dtype=jnp.float32):
@@ -161,6 +174,7 @@ def make_ocp(
     ray_hi: float = 10.0,
     inv_dist_weight: float = 0.0,
     p_obs=None,
+    mov_obs=None,
     integrator: str = "euler",
     dtype=jnp.float32,
 ) -> OCP:
@@ -205,6 +219,12 @@ def make_ocp(
         jnp.zeros((0, 3), dtype) if obstacles is None else jnp.asarray(obstacles, dtype).reshape(n_obs, 3)
     )
     p_obs = jnp.zeros((num_rays, 2), dtype) if p_obs is None else jnp.asarray(p_obs, dtype).reshape(num_rays, 2)
+    if mov_obs is None:
+        n_mov = 0
+        mov_obs = jnp.zeros((N, 0, 2), dtype)
+    else:
+        mov_obs = jnp.asarray(mov_obs, dtype)
+        n_mov = mov_obs.shape[1]
 
     return OCP(
         m=m,
@@ -213,6 +233,7 @@ def make_ocp(
         num_rays=num_rays,
         integrator=integrator,
         collision=collision and m > 1,
+        n_mov=n_mov,
         T=jnp.asarray(T, dtype),
         Qdiag=Qdiag,
         Rdiag=Rdiag,
@@ -228,6 +249,7 @@ def make_ocp(
         obs_margin=jnp.asarray(obs_margin, dtype),
         inv_dist_weight=jnp.asarray(inv_dist_weight, dtype),
         p_obs=p_obs,
+        mov_obs=mov_obs,
     )
 
 
@@ -290,17 +312,25 @@ def pairwise_sq_distances(ocp: OCP, x: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def stage_constraints(ocp: OCP, x: jax.Array, u: jax.Array) -> jax.Array:
-    """Stack all per-stage inequalities as c >= 0; shape [n_con]."""
+def stage_constraints(ocp: OCP, x: jax.Array, u: jax.Array, mov_k: jax.Array | None = None) -> jax.Array:
+    """Stack all per-stage inequalities as c >= 0; shape [n_con].
+
+    mov_k: [n_mov, 2] positions of this stage's moving obstacles (neighbor
+    plans in decentralized mode); defaults to stage 0's entries."""
     parts = []
     if ocp.n_pairs:
         parts.append(pairwise_sq_distances(ocp, x) - ocp.dmin2)
+    pos = x[: 3 * ocp.m].reshape(ocp.m, 3)[:, :2]  # [m, 2]
     if ocp.n_obs:
-        pos = x[: 3 * ocp.m].reshape(ocp.m, 3)[:, :2]  # [m, 2]
         delta = pos[:, None, :] - ocp.obstacles[None, :, :2]  # [m, n_obs, 2]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12))
         c_obs = dist - ocp.robot_radius - ocp.obstacles[None, :, 2] - ocp.obs_margin
         parts.append(c_obs.reshape(-1))
+    if ocp.n_mov:
+        mov_k = ocp.mov_obs[0] if mov_k is None else mov_k
+        delta = pos[:, None, :] - mov_k[None, :, :]  # [m, n_mov, 2]
+        d2 = jnp.sum(delta * delta, axis=-1)
+        parts.append((d2 - ocp.dmin2).reshape(-1))
     parts.append(u - ocp.u_lo)
     parts.append(ocp.u_hi - u)
     parts.append(x - ocp.x_lo)
@@ -314,7 +344,9 @@ def trajectory_constraints(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
     Collision/obstacle rows are enforced at stages 0..N-1 and *not* at the
     terminal state — matching the reference's g-vector layout (stage-0 block
     padded with dummy constants; six-robot file :208,248-261)."""
-    return jax.vmap(lambda x, u: stage_constraints(ocp, x, u))(X[:-1], U)
+    return jax.vmap(lambda x, u, mk: stage_constraints(ocp, x, u, mk))(
+        X[:-1], U, ocp.mov_obs
+    )
 
 
 def al_penalty(c: jax.Array, lam: jax.Array, mu) -> jax.Array:

@@ -110,7 +110,7 @@ def _stage_jacobians(ocp: OCP, x, u):
     return jax.jacfwd(F, argnums=0)(x, u), jax.jacfwd(F, argnums=1)(x, u)
 
 
-def _stage_expansion(ocp: OCP, x, u, xref_k, lam_k, mu):
+def _stage_expansion(ocp: OCP, x, u, xref_k, lam_k, mov_k, mu):
     """Gradients and Gauss-Newton Hessians of the AL merit stage term."""
     nx, nu = ocp.nx, ocp.nu
     dx = x - xref_k
@@ -129,9 +129,9 @@ def _stage_expansion(ocp: OCP, x, u, xref_k, lam_k, mu):
         lxx = lxx + jnp.diag(jnp.concatenate([jnp.zeros((3,), x.dtype), hray]))
 
     # PHR penalty: grad = -J' act, GN hess = mu J' 1[active] J
-    c = P.stage_constraints(ocp, x, u)
-    Jx = jax.jacfwd(lambda xx: P.stage_constraints(ocp, xx, u))(x)
-    Ju = jax.jacfwd(lambda uu: P.stage_constraints(ocp, x, uu))(u)
+    c = P.stage_constraints(ocp, x, u, mov_k)
+    Jx = jax.jacfwd(lambda xx: P.stage_constraints(ocp, xx, u, mov_k))(x)
+    Ju = jax.jacfwd(lambda uu: P.stage_constraints(ocp, x, uu, mov_k))(u)
     act = jnp.maximum(0.0, lam_k - mu * c)
     w = mu * (act > 0.0).astype(x.dtype)
     lx = lx - Jx.T @ act
@@ -156,8 +156,8 @@ def _backward_pass(ocp: OCP, cfg: ALILQRConfig, X, U, lam, mu):
     terminal cost and no constraints on X[:,N] (SURVEY.md §2.1)."""
     A, B = jax.vmap(lambda x, u: _stage_jacobians(ocp, x, u))(X[:-1], U)
     lx, lu, lxx, luu, lux = jax.vmap(
-        lambda x, u, r, l: _stage_expansion(ocp, x, u, r, l, mu)
-    )(X[:-1], U, ocp.xref, lam)
+        lambda x, u, r, l, mk: _stage_expansion(ocp, x, u, r, l, mk, mu)
+    )(X[:-1], U, ocp.xref, lam, ocp.mov_obs)
 
     nx, nu = ocp.nx, ocp.nu
     dtype = X.dtype
