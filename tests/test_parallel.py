@@ -1,0 +1,98 @@
+"""Parallelism tests (SURVEY.md §2.4): scenario batching, mesh sharding,
+decentralized neighbor exchange, multi-chip dry run — on 8 virtual devices."""
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmpc_tpu.parallel.batch import batch_ocp, batched_solve, random_starts, shard_ocp_batch
+from nmpc_tpu.parallel.decentralized import (
+    decentralized_closed_loop,
+    decentralized_step_sharded,
+    robot_template,
+)
+from nmpc_tpu.parallel.mesh import data_mesh
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.solver.alilqr import ALILQRConfig, cold_start, solve
+
+CFG = ALILQRConfig(n_outer=8, n_inner=15, tol_con=1e-4)
+
+
+def test_batched_solve_matches_single():
+    base = get("single_robot").make(N=20)
+    goals = jnp.stack([base.xref, base.xref * 0.5])
+    ob = batch_ocp(base, jnp.stack([base.x0, base.x0]), goals)
+    res_b = jax.jit(functools.partial(batched_solve, cfg=CFG))(ob)
+    res_0 = jax.jit(functools.partial(solve, cfg=CFG))(base)
+    np.testing.assert_allclose(np.array(res_b.U[0]), np.array(res_0.U), atol=1e-5)
+    # second element solves a different problem
+    assert float(jnp.max(jnp.abs(res_b.U[1] - res_b.U[0]))) > 1e-3
+
+
+def test_sharded_batch_solves_on_mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = data_mesh(8)
+    base = get("two_robot_swap").make(N=10)
+    ob = random_starts(base, jax.random.PRNGKey(1), 16, spread=0.05)
+    obs = shard_ocp_batch(ob, mesh)
+    res = jax.jit(functools.partial(batched_solve, cfg=CFG))(obs)
+    assert "data" in str(res.U.sharding)
+    assert res.U.shape == (16, 10, 4)
+    assert float(jnp.max(res.viol)) < 1e-3
+
+
+def test_decentralized_two_robot_symmetric_swap():
+    # exactly symmetric head-on: plain reciprocal avoidance deadlocks; the
+    # right-hand rule + parking escape must resolve it deterministically
+    x0 = jnp.array([-0.7, 0.0, 0, 0.7, 0.0, np.pi], jnp.float32)
+    goals = jnp.array([[0.7, 0, 0], [-0.7, 0, np.pi]], jnp.float32)
+    X, U, mind, done = jax.jit(
+        functools.partial(decentralized_closed_loop, N=30, T=0.1, dmin=0.3, max_steps=250)
+    )(x0, goals)
+    assert bool(done)
+    assert float(mind.min()) >= 0.3 - 1e-2
+
+
+def test_decentralized_four_robot_cross():
+    x4 = jnp.array([-0.8, 0, 0, 0.8, 0, np.pi, 0, -0.8, np.pi / 2, 0, 0.8, -np.pi / 2],
+                   jnp.float32)
+    g4 = jnp.array([[0.8, 0, 0], [-0.8, 0, np.pi], [0, 0.8, np.pi / 2],
+                    [0, -0.8, -np.pi / 2]], jnp.float32)
+    X, U, mind, done = jax.jit(
+        functools.partial(decentralized_closed_loop, N=30, T=0.1, dmin=0.3, max_steps=250)
+    )(x4, g4)
+    assert bool(done)
+    assert float(mind.min()) >= 0.3 - 1e-2
+
+
+def test_decentralized_sharded_step_runs_collectives():
+    m, N = 8, 10
+    mesh = data_mesh(8, axis="robots")
+    tpl = robot_template(N, 0.1, 0.3, m)
+    step = decentralized_step_sharded(mesh, tpl, ALILQRConfig(n_outer=3, n_inner=5),
+                                      axis="robots")
+    ang = np.arange(m) * 2 * np.pi / m
+    poses = jnp.asarray(np.stack([np.cos(ang), np.sin(ang), ang + np.pi], -1), jnp.float32)
+    goals = jnp.asarray(np.stack([-np.cos(ang), -np.sin(ang), ang + np.pi], -1), jnp.float32)
+    plans = jnp.tile(poses[:, None, :2], (1, N + 1, 1))
+    w = jax.vmap(lambda _: cold_start(tpl))(jnp.arange(m))
+    u, plans_new = step(poses, goals, plans, w.U, w.lam, w.mu)
+    assert u.shape == (m, 2)
+    assert plans_new.shape == (m, N + 1, 2)
+    # every robot moves toward the antipode: positive forward velocity
+    assert float(jnp.min(u[:, 0])) > 0.0
+
+
+def test_graft_entry_and_dryrun():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    U, cost, viol = jax.jit(fn)(*args)
+    assert U.shape == (10, 12)
+    assert bool(jnp.isfinite(cost))
+    g.dryrun_multichip(8)
