@@ -23,7 +23,7 @@ def main():
     from nmpc_tpu.scenarios import get
     from nmpc_tpu.solver.alilqr import ALILQRConfig
 
-    B = 1024
+    B = 4096
     base = get("six_robot_antipodal").make(N=10)
     cfg = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-3)
 
@@ -37,7 +37,7 @@ def main():
     res = run(ob)
     res.cost.block_until_ready()  # compile + warm-up
 
-    iters = 5
+    iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
         # re-jitter so no iteration reuses converged state

@@ -172,9 +172,13 @@ def closed_loop(
     plant: PlantConfig = PlantConfig(),
     warm: WarmStart | None = None,
     key: jax.Array | None = None,
+    solve_fn=None,
 ) -> MPCResult:
     """Point stabilization: run MPC until ||x - xs|| <= stop_tol (masked).
-    Pass `key` to enable the plant's noise models (Gazebo stand-in)."""
+    Pass `key` to enable the plant's noise models (Gazebo stand-in).
+    solve_fn(ocp, warm) overrides the NLP engine (e.g. the condensed GN
+    solver with move blocking); defaults to AL-iLQR with solver_cfg."""
+    _solve = solve_fn or (lambda o, w: solve(o, w, solver_cfg))
     goal = ocp.xref[-1]
     warm0 = cold_start(ocp, solver_cfg) if warm is None else warm
 
@@ -183,7 +187,7 @@ def closed_loop(
         err = jnp.linalg.norm(x - goal)
         done = done | (err <= mpc.stop_tol)
         ocp_k = dataclasses.replace(ocp, x0=x)
-        res = solve(ocp_k, w, solver_cfg)
+        res = _solve(ocp_k, w)
         u0 = jnp.where(done, 0.0, res.U[0])
         if mpc.escape:
             u0, esc = _escape_control(ocp, mpc, x, goal, u0, esc, done)
@@ -209,9 +213,11 @@ def closed_loop_waypoints(
     solver_cfg: ALILQRConfig = ALILQRConfig(),
     mpc: MPCConfig = MPCConfig(),
     plant: PlantConfig = PlantConfig(),
+    solve_fn=None,
 ) -> MPCResult:
     """Goal-sequence tour: advance to the next waypoint when the full-pose
     error drops below advance_tol; stop after the last waypoint."""
+    _solve = solve_fn or (lambda o, w: solve(o, w, solver_cfg))
     G = waypoints.shape[0]
 
     def step(carry, _):
@@ -230,7 +236,7 @@ def closed_loop_waypoints(
         ocp_k = dataclasses.replace(
             ocp, x0=x, xref=jnp.tile(goal_full[None, :], (ocp.N, 1))
         )
-        res = solve(ocp_k, w, solver_cfg)
+        res = _solve(ocp_k, w)
         u0 = jnp.where(done, 0.0, res.U[0])
         if mpc.escape:
             u0, esc = _escape_control(ocp, mpc, x, goal_full, u0, esc, done, tol=mpc.advance_tol)
@@ -256,6 +262,7 @@ def closed_loop_tracking(
     solver_cfg: ALILQRConfig = ALILQRConfig(),
     mpc: MPCConfig = MPCConfig(),
     plant: PlantConfig = PlantConfig(),
+    solve_fn=None,
 ) -> MPCResult:
     """Trajectory tracking: the stage reference is regenerated every control
     period from `ref_fn(t)` — the reference rebuilds Xref from wall-clock time
@@ -267,7 +274,7 @@ def closed_loop_tracking(
         t = k.astype(x.dtype) * ocp.T
         xref = ref_fn(t)
         ocp_k = dataclasses.replace(ocp, x0=x, xref=xref)
-        res = solve(ocp_k, w, solver_cfg)
+        res = (solve_fn or (lambda o, w_: solve(o, w_, solver_cfg)))(ocp_k, w)
         u0 = res.U[0]
         x_next, _ = plant_step(x, u0, ocp.T, plant)
         err = jnp.linalg.norm(x - xref[0])

@@ -349,6 +349,38 @@ def trajectory_constraints(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
     )
 
 
+def x_dependent_rows(ocp: OCP):
+    """Static bool [n_con]: rows that depend only on the state (not u).
+    Order matches stage_constraints: pairs, obstacles, moving, u-box, x-box."""
+    import numpy as _np
+
+    return _np.concatenate([
+        _np.ones(ocp.n_pairs, bool),
+        _np.ones(ocp.m * ocp.n_obs, bool),
+        _np.ones(ocp.m * ocp.n_mov, bool),
+        _np.zeros(2 * ocp.nu, bool),
+        _np.ones(2 * ocp.nx, bool),
+    ])
+
+
+def constraint_mask(ocp: OCP) -> jax.Array:
+    """[N, n_con] 1/0 mask. Stage-0 state-only rows are masked out: X[:,0] is
+    pinned to the measurement, so those rows are constants — penalizing them
+    cannot change the solution but wrecks the violation metric and pins the
+    penalty weight at its cap whenever the *measured* state is infeasible
+    (e.g. a LiDAR ray already inside the safety shell). The reference's
+    stage-0 dummy padding (six-robot file :208) plays the same role."""
+    row0 = jnp.asarray(~x_dependent_rows(ocp), jnp.float32)
+    mask = jnp.ones((ocp.N, ocp.n_con), jnp.float32)
+    return mask.at[0].set(row0)
+
+
+def masked_trajectory_constraints(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
+    """trajectory_constraints with masked rows forced far-feasible."""
+    c = trajectory_constraints(ocp, X, U)
+    return jnp.where(constraint_mask(ocp) > 0, c, BIG)
+
+
 def al_penalty(c: jax.Array, lam: jax.Array, mu) -> jax.Array:
     """Powell-Hestenes-Rockafellar penalty for c >= 0, summed.
 
@@ -361,7 +393,7 @@ def al_penalty(c: jax.Array, lam: jax.Array, mu) -> jax.Array:
 
 
 def max_violation(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
-    c = trajectory_constraints(ocp, X, U)
+    c = masked_trajectory_constraints(ocp, X, U)
     return jnp.maximum(0.0, -jnp.min(c))
 
 
@@ -372,5 +404,5 @@ def total_cost(ocp: OCP, X: jax.Array, U: jax.Array) -> jax.Array:
 
 
 def al_total_cost(ocp: OCP, X: jax.Array, U: jax.Array, lam: jax.Array, mu) -> jax.Array:
-    c = trajectory_constraints(ocp, X, U)
+    c = masked_trajectory_constraints(ocp, X, U)
     return total_cost(ocp, X, U) + al_penalty(c, lam, mu)

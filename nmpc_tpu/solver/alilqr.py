@@ -275,7 +275,7 @@ def solve(ocp: OCP, warm: WarmStart | None = None, cfg: ALILQRConfig = ALILQRCon
     def body(carry):
         X, U, lam, mu, it, inner_tot, _, _ = carry
         X, U, _, iters = _inner_ilqr(ocp, cfg, X, U, lam, mu)
-        c = P.trajectory_constraints(ocp, X, U)
+        c = P.masked_trajectory_constraints(ocp, X, U)
         viol = jnp.maximum(0.0, -jnp.min(c))
         lam = jnp.clip(jnp.maximum(0.0, lam - mu * c), 0.0, cfg.lam_max)
         done = viol < cfg.tol_con

@@ -1,0 +1,2 @@
+from nmpc_tpu.utils.timing import PhaseTimer, latency_stats, time_fn  # noqa: F401
+from nmpc_tpu.utils.runlog import RunLog, load_run, save_run  # noqa: F401

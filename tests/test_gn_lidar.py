@@ -1,0 +1,80 @@
+"""Condensed GN solver (move blocking) + LiDAR-augmented family I tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmpc_tpu.ocp.problem import make_ocp
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.sim.lidar import obstacle_points, ray_angles, raycast
+from nmpc_tpu.solver import gn
+from nmpc_tpu.solver.alilqr import ALILQRConfig
+from nmpc_tpu.solver.alilqr import solve as ilqr_solve
+
+
+def test_gn_matches_ilqr_unblocked():
+    ocp = make_ocp(m=1, N=50, T=0.01, x0=[0, 0, 0], x_goal=[1.0, 1.5, 0.0])
+    r1 = jax.jit(functools.partial(
+        ilqr_solve, cfg=ALILQRConfig(tol_cost=1e-9, n_inner=50, n_outer=20, tol_con=1e-5)
+    ))(ocp)
+    r2 = jax.jit(functools.partial(
+        gn.solve, cfg=gn.GNConfig(tol_cost=1e-9, n_gn=40, n_outer=20, tol_con=1e-5)
+    ))(ocp)
+    assert abs(float(r1.cost) - float(r2.cost)) / (1 + float(r1.cost)) < 1e-4
+    assert float(np.abs(np.array(r1.U) - np.array(r2.U)).max()) < 1e-2
+
+
+def test_move_blocking_freezes_tail():
+    # Nc=2 < N=5: u frozen after Nc (mpc_control_pose_py_modified.py:32-37)
+    ocp = make_ocp(m=1, N=5, T=0.5, x0=[0, 0, 0], x_goal=[2.0, 2.0, 0.0])
+    r = jax.jit(functools.partial(gn.solve, cfg=gn.GNConfig(Nc=2, n_gn=30, n_outer=10)))(ocp)
+    U = np.array(r.U)
+    for k in range(2, 5):
+        np.testing.assert_allclose(U[k], U[1], rtol=1e-6)
+    assert float(r.viol) < 1e-3
+
+
+def test_raycast_geometry():
+    angles = ray_angles(4)  # 0, 90, 180, 270 deg body frame
+    pose = jnp.array([0.0, 0.0, 0.0])
+    obstacles = jnp.array([[1.0, 0.0, 0.2]])
+    rng = raycast(pose, obstacles, angles)
+    np.testing.assert_allclose(rng[0], 0.8, rtol=1e-5)   # ahead: hits at 1-r
+    np.testing.assert_allclose(rng[1], 3.5, rtol=1e-5)   # sideways: capped
+    np.testing.assert_allclose(rng[2], 3.5, rtol=1e-5)
+    # rotated pose: ray 2 (180 deg body) now faces the obstacle
+    pose_r = jnp.array([0.0, 0.0, jnp.pi])
+    rng_r = raycast(pose_r, obstacles, angles)
+    np.testing.assert_allclose(rng_r[2], 0.8, rtol=1e-5)
+
+
+def test_obstacle_points_roundtrip():
+    angles = ray_angles(8)
+    pose = jnp.array([0.3, -0.2, 0.7])
+    scan = jnp.full((8,), 1.5)
+    pts = obstacle_points(pose, scan, angles)
+    d = jnp.linalg.norm(pts - pose[:2][None], axis=-1)
+    np.testing.assert_allclose(d, 1.5, rtol=1e-5)
+
+
+def test_lidar_closed_loop_avoids_and_reaches():
+    from nmpc_tpu.mpc.lidar import closed_loop_lidar
+
+    sc = get("lidar_v4")
+    ocp = sc.make(N=40)
+    obstacles = jnp.array([[0.5, 0.25, 0.1]], jnp.float32)
+    wps = jnp.asarray(sc.waypoints[:1], jnp.float32)  # first goal (1.0, 0.5, 0)
+    cfg = gn.GNConfig(Nc=20, n_gn=10, n_outer=6, tol_con=1e-3)
+    X, U, clr, gidx, done = jax.jit(functools.partial(
+        closed_loop_lidar, sim_obstacles=obstacles, waypoints=wps, cfg=cfg,
+        max_steps=400))(ocp)
+    # never hits the obstacle (robot radius 0.15)
+    assert float(clr.min()) >= 0.15 - 1e-2
+    # reaches the goal region
+    assert int(gidx[-1]) >= 1
+    # controls respect the v4 actuator limits (v<=0.15, w<=1.5)
+    U = np.array(U)
+    assert np.abs(U[:, 0]).max() <= 0.15 + 1e-3
+    assert np.abs(U[:, 1]).max() <= 1.5 + 1e-3
