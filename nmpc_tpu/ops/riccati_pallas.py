@@ -1,0 +1,205 @@
+"""Pallas TPU kernel: fused batched Riccati backward sweep.
+
+This is the hot kernel of the NMPC engine — the structured-KKT solve that
+replaces IPOPT's MUMPS factorization (SURVEY.md §7.1 layer `qp`). The blocks
+are tiny (nx = 3m <= 30), so per-scenario the sweep is latency-bound, not
+FLOP-bound; the kernel therefore lays the *scenario batch* along the 128-wide
+lane dimension and performs the small-matrix algebra as unrolled vector FMAs:
+every (i, j) entry of every matrix product is one lane-vector op over 128
+scenarios (SURVEY.md §7.3 hard part 4). One kernel instance sweeps all N
+stages for its batch tile, keeping V_x / V_xx in VMEM scratch — the whole
+backward pass is a single fused kernel instead of ~15 small XLA ops per
+stage.
+
+Sizing: the per-tile VMEM footprint is ~N * (2 n^2 + 2 n m + m^2) * 512 B;
+with n = 18, m = 12 that bounds N <= ~20 per invocation (the bench shape
+N = 10 uses ~10 MB). Longer horizons need stage-streaming DMA — future work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _mm(X, Y):
+    """Lane-major matmul: X [a, b, T] @ Y [b, c, T] -> [a, c, T], unrolled
+    over the tiny contraction dim. (Slice + expand_dims, never `arr[:, k,
+    None, :]` — mixing int and None indices lowers to an unsupported >2D
+    gather in Mosaic.)"""
+    b = X.shape[1]
+    acc = jnp.expand_dims(X[:, 0], 1) * jnp.expand_dims(Y[0], 0)
+    for k in range(1, b):
+        acc = acc + jnp.expand_dims(X[:, k], 1) * jnp.expand_dims(Y[k], 0)
+    return acc
+
+
+def _mtm(X, Y):
+    """X^T @ Y lane-major: X [b, a, T], Y [b, c, T] -> [a, c, T]."""
+    b = X.shape[0]
+    acc = jnp.expand_dims(X[0], 1) * jnp.expand_dims(Y[0], 0)
+    for k in range(1, b):
+        acc = acc + jnp.expand_dims(X[k], 1) * jnp.expand_dims(Y[k], 0)
+    return acc
+
+
+def _chol(Quu, reg):
+    """Lane-wise Cholesky of [m, m, T] SPD blocks (+reg I); entries are
+    [1, T] lane vectors; fully unrolled (m <= 20)."""
+    m = Quu.shape[0]
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        s = Quu[i : i + 1, i] + reg
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(s)
+        inv = 1.0 / L[i][i]
+        for j in range(i + 1, m):
+            s = Quu[j : j + 1, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv
+    return L
+
+
+def _chol_solve(L, RHS):
+    """Solve (L L^T) X = RHS, RHS [m, r, T]; rows substituted unrolled."""
+    m = len(L)
+    y = [None] * m
+    for i in range(m):
+        s = RHS[i]                       # [r, T]
+        for k in range(i):
+            s = s - L[i][k] * y[k]       # [1,T] * [r,T]
+        y[i] = s / L[i][i]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=0)          # [m, r, T]
+
+
+def _make_kernel(N, n, m, reg):
+    def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+               kff_ref, Kfb_ref, dV1_ref, Vx_s, Vxx_s):
+        Vx_s[...] = jnp.zeros_like(Vx_s)
+        Vxx_s[...] = jnp.zeros_like(Vxx_s)
+        dV1_ref[...] = jnp.zeros_like(dV1_ref)
+
+        for kidx in range(N - 1, -1, -1):
+            A = A_ref[0, kidx]      # [n, n, T]
+            Bm = B_ref[0, kidx]     # [n, m, T]
+            lx = lx_ref[0, kidx]    # [n, 1, T]
+            lu = lu_ref[0, kidx]    # [m, 1, T]
+            lxx = lxx_ref[0, kidx]
+            luu = luu_ref[0, kidx]
+            lux = lux_ref[0, kidx]
+            Vx = Vx_s[...]
+            Vxx = Vxx_s[...]
+
+            VA = _mm(Vxx, A)
+            Qx = lx + _mtm(A, Vx)
+            Qu = lu + _mtm(Bm, Vx)
+            Qxx = lxx + _mtm(A, VA)
+            Qux = lux + _mtm(Bm, VA)
+            Quu = luu + _mtm(Bm, _mm(Vxx, Bm))
+
+            L = _chol(Quu, reg)
+            sol = _chol_solve(L, jnp.concatenate([Qu, Qux], axis=1))
+            kff = -sol[:, :1]       # [m, 1, T]
+            Kfb = -sol[:, 1:]       # [m, n, T]
+
+            kff_ref[0, kidx] = kff
+            Kfb_ref[0, kidx] = Kfb
+            dV1_ref[...] += jnp.sum(kff * Qu, axis=0)[None]
+
+            # with Quu kff = -Qu: Vx' = Qx + Qux' kff, Vxx' = Qxx + Qux' Kfb.
+            # Symmetrize without a (gather-lowering) transpose:
+            # (Qux'Kfb)^T = Kfb'Qux, and Qxx is symmetric by construction.
+            Vx_s[...] = Qx + _mtm(Qux, kff)
+            Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
+
+    return kernel
+
+
+def _to_lane(x, tiles):
+    """[Bt, N, *dims] -> [tiles, N, *dims, LANES]."""
+    xt = jnp.moveaxis(x, 0, -1)                           # [N, *dims, Bt]
+    xt = xt.reshape(*xt.shape[:-1], tiles, LANES)         # [N, *dims, tiles, L]
+    return jnp.moveaxis(xt, -2, 0)
+
+
+def _from_lane(x, Bt):
+    """[tiles, N, *dims, LANES] -> [Bt, N, *dims]."""
+    xt = jnp.moveaxis(x, 0, -2)                           # [N, *dims, tiles, L]
+    xt = xt.reshape(*xt.shape[:-2], Bt)
+    return jnp.moveaxis(xt, -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "interpret"))
+def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=False):
+    """Fused batched Riccati sweep.
+
+    A [Bt,N,n,n], B [Bt,N,n,m], lx [Bt,N,n], lu [Bt,N,m], lxx [Bt,N,n,n],
+    luu [Bt,N,m,m], lux [Bt,N,m,n]  ->  kff [Bt,N,m], Kfb [Bt,N,m,n],
+    dV1 [Bt]. Bt must be a multiple of 128.
+    """
+    Bt, N, n, _ = A.shape
+    m = B.shape[-1]
+    assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
+    tiles = Bt // LANES
+    dtype = A.dtype
+
+    ins = [
+        _to_lane(A, tiles),
+        _to_lane(B, tiles),
+        _to_lane(lx[..., None, :].swapaxes(-1, -2), tiles),  # [Bt,N,n,1]
+        _to_lane(lu[..., None, :].swapaxes(-1, -2), tiles),
+        _to_lane(lxx, tiles),
+        _to_lane(luu, tiles),
+        _to_lane(lux, tiles),
+    ]
+
+    def bspec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (1, N, *dims, LANES),
+            lambda i, nd=nd: (i,) + (0,) * (nd + 2),
+            memory_space=pltpu.VMEM,
+        )
+
+    kff_l, Kfb_l, dV1_l = pl.pallas_call(
+        _make_kernel(N, n, m, reg),
+        grid=(tiles,),
+        in_specs=[
+            bspec(n, n), bspec(n, m), bspec(n, 1), bspec(m, 1),
+            bspec(n, n), bspec(m, m), bspec(m, n),
+        ],
+        out_specs=(
+            bspec(m, 1),
+            bspec(m, n),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, N, m, 1, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, N, m, n, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, 1, LANES), dtype),
+            pltpu.VMEM((n, n, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    kff = _from_lane(kff_l, Bt)[..., 0]
+    Kfb = _from_lane(Kfb_l, Bt)
+    dV1 = _from_lane(dV1_l[:, None], Bt)[:, 0, 0]
+    return kff, Kfb, dV1
