@@ -144,13 +144,15 @@ def _from_lane(x, Bt):
 
 
 @functools.partial(jax.jit, static_argnames=("reg", "interpret"))
-def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=False):
+def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
     """Fused batched Riccati sweep.
 
     A [Bt,N,n,n], B [Bt,N,n,m], lx [Bt,N,n], lu [Bt,N,m], lxx [Bt,N,n,n],
     luu [Bt,N,m,m], lux [Bt,N,m,n]  ->  kff [Bt,N,m], Kfb [Bt,N,m,n],
     dV1 [Bt]. Bt must be a multiple of 128.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # CPU tests: interpret mode
     Bt, N, n, _ = A.shape
     m = B.shape[-1]
     assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
