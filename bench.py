@@ -19,9 +19,10 @@ import jax.numpy as jnp
 
 
 def main():
-    from nmpc_tpu.parallel.batch import batch_ocp, batched_solve
+    from nmpc_tpu.parallel.batch import batch_ocp
     from nmpc_tpu.scenarios import get
     from nmpc_tpu.solver.alilqr import ALILQRConfig
+    from nmpc_tpu.solver.alilqr_batched import solve_batched
 
     B = 4096
     base = get("six_robot_antipodal").make(N=10)
@@ -33,7 +34,9 @@ def main():
     x0s = base.x0[None] + noise
     ob = batch_ocp(base, x0s)
 
-    run = jax.jit(functools.partial(batched_solve, cfg=cfg))
+    # batch-native solver: the Riccati backward sweep is the fused Pallas
+    # kernel (ops/riccati_pallas.py) — ~1.5x over the vmapped engine
+    run = jax.jit(functools.partial(solve_batched, cfg=cfg))
     res = run(ob)
     res.cost.block_until_ready()  # compile + warm-up
 

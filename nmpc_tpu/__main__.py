@@ -1,0 +1,89 @@
+"""CLI: run any registered reference scenario end to end.
+
+    python -m nmpc_tpu list
+    python -m nmpc_tpu run six_robot_antipodal [--steps N] [--save out.npz]
+    python -m nmpc_tpu bench
+
+The reference's 'CLI' is editing one of 44 script copies by hand
+(SURVEY.md §1); here every configuration is a registry entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+
+def cmd_list() -> int:
+    from nmpc_tpu.scenarios import REGISTRY
+
+    for name, sc in sorted(REGISTRY.items(), key=lambda kv: (kv[1].family, kv[0])):
+        kind = "waypoints" if sc.waypoints else "point-goal"
+        print(f"{sc.family}  {name:26s} m={sc.m:<2d} N={sc.N:<4d} T={sc.T:<6g} {kind}   [{sc.source}]")
+    return 0
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop, closed_loop_waypoints
+    from nmpc_tpu.scenarios import get
+    from nmpc_tpu.solver.alilqr import ALILQRConfig
+    from nmpc_tpu.utils import save_run
+
+    sc = get(args.scenario)
+    ocp = sc.make()
+    solver_cfg = ALILQRConfig(n_outer=12, n_inner=20, tol_con=1e-4)
+    t0 = time.time()
+    if sc.waypoints:
+        mpc = MPCConfig(max_steps=args.steps, advance_tol=sc.advance_tol, escape=True)
+        run = jax.jit(functools.partial(
+            closed_loop_waypoints, waypoints=sc.waypoint_array,
+            solver_cfg=solver_cfg, mpc=mpc))
+    else:
+        mpc = MPCConfig(max_steps=args.steps, stop_tol=sc.stop_tol, escape=True)
+        run = jax.jit(functools.partial(closed_loop, solver_cfg=solver_cfg, mpc=mpc))
+    r = run(ocp)
+    r.X_hist.block_until_ready()
+    wall = time.time() - t0
+    import numpy as np
+
+    used = max(int(r.steps_used), 1)
+    print(f"scenario      {args.scenario} (family {sc.family}, m={sc.m}, N={ocp.N}, T={float(ocp.T):g})")
+    print(f"reached       {bool(r.reached)} in {int(r.steps_used)} steps "
+          f"({int(r.steps_used) * float(ocp.T):.1f} s sim time)")
+    print(f"final error   {float(r.err_hist[min(used, len(r.err_hist)) - 1]):.4f}")
+    if sc.m > 1:
+        print(f"min pair dist {float(np.min(np.asarray(r.min_dist_hist))):.4f} (dmin={sc.dmin})")
+    print(f"mean iters    {float(np.mean(np.asarray(r.iter_hist)[:used])):.1f} per solve")
+    print(f"wall clock    {wall:.1f} s (compile + {int(r.steps_used)} MPC steps)")
+    if args.save:
+        save_run(args.save, r, meta={"scenario": args.scenario})
+        print(f"saved         {args.save}")
+    return 0 if bool(r.reached) else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nmpc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    runp = sub.add_parser("run")
+    runp.add_argument("scenario")
+    runp.add_argument("--steps", type=int, default=400)
+    runp.add_argument("--save", default=None)
+    sub.add_parser("bench")
+    args = p.parse_args(argv)
+    if args.cmd == "list":
+        return cmd_list()
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+    return cmd_run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,11 @@ class MPCConfig:
     escape: bool = False
     escape_u_tol: float = 1e-3
     escape_gain: float = 1.5
+    # Failure handling (SURVEY.md §5.3): the reference applies IPOPT's output
+    # regardless of status. Here a solve whose plan is non-finite or grossly
+    # infeasible is rejected and the previous shifted plan's first control is
+    # applied instead (the natural fallback: it was feasible one step ago).
+    viol_fallback: float = 1e30  # reject threshold on max violation
 
 
 @partial(
@@ -188,6 +193,11 @@ def closed_loop(
         done = done | (err <= mpc.stop_tol)
         ocp_k = dataclasses.replace(ocp, x0=x)
         res = _solve(ocp_k, w)
+        ok = jnp.isfinite(res.cost) & jnp.all(jnp.isfinite(res.U)) & (
+            res.viol < mpc.viol_fallback
+        )
+        res = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                           res, dataclasses.replace(res, U=w.U, lam=w.lam))
         u0 = jnp.where(done, 0.0, res.U[0])
         if mpc.escape:
             u0, esc = _escape_control(ocp, mpc, x, goal, u0, esc, done)

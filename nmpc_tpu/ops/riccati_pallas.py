@@ -87,11 +87,16 @@ def _chol_solve(L, RHS):
 
 
 def _make_kernel(N, n, m, reg):
+    """Kernel for one stage *chunk*: consumes the incoming value function
+    (Vx, Vxx, dV1) and emits the outgoing one, so long horizons are processed
+    as a reverse sequence of chunked pallas_calls that each fit VMEM."""
+
     def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-               kff_ref, Kfb_ref, dV1_ref, Vx_s, Vxx_s):
-        Vx_s[...] = jnp.zeros_like(Vx_s)
-        Vxx_s[...] = jnp.zeros_like(Vxx_s)
-        dV1_ref[...] = jnp.zeros_like(dV1_ref)
+               Vx_in, Vxx_in, dV1_in,
+               kff_ref, Kfb_ref, Vx_out, Vxx_out, dV1_ref, Vx_s, Vxx_s):
+        Vx_s[...] = Vx_in[0, 0]
+        Vxx_s[...] = Vxx_in[0, 0]
+        dV1_ref[...] = dV1_in[...]
 
         for kidx in range(N - 1, -1, -1):
             A = A_ref[0, kidx]      # [n, n, T]
@@ -126,6 +131,9 @@ def _make_kernel(N, n, m, reg):
             Vx_s[...] = Qx + _mtm(Qux, kff)
             Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
 
+        Vx_out[0, 0] = Vx_s[...]
+        Vxx_out[0, 0] = Vxx_s[...]
+
     return kernel
 
 
@@ -159,7 +167,12 @@ def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
     tiles = Bt // LANES
     dtype = A.dtype
 
-    ins = [
+    # Chunk the horizon so each pallas_call's (double-buffered) VMEM working
+    # set stays well under the 16 MB budget.
+    stage_bytes = (2 * n * n + 2 * n * m + m * m + 2 * n + 3 * m) * LANES * 4
+    chunk = max(1, min(N, (5 * 1024 * 1024) // stage_bytes))
+
+    ins_full = [
         _to_lane(A, tiles),
         _to_lane(B, tiles),
         _to_lane(lx[..., None, :].swapaxes(-1, -2), tiles),  # [Bt,N,n,1]
@@ -169,39 +182,65 @@ def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
         _to_lane(lux, tiles),
     ]
 
-    def bspec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (1, N, *dims, LANES),
-            lambda i, nd=nd: (i,) + (0,) * (nd + 2),
-            memory_space=pltpu.VMEM,
-        )
+    Vx_c = jnp.zeros((tiles, 1, n, 1, LANES), dtype)
+    Vxx_c = jnp.zeros((tiles, 1, n, n, LANES), dtype)
+    dV1_c = jnp.zeros((tiles, 1, LANES), dtype)
+    kff_parts, Kfb_parts = [], []
 
-    kff_l, Kfb_l, dV1_l = pl.pallas_call(
-        _make_kernel(N, n, m, reg),
-        grid=(tiles,),
-        in_specs=[
-            bspec(n, n), bspec(n, m), bspec(n, 1), bspec(m, 1),
-            bspec(n, n), bspec(m, m), bspec(m, n),
-        ],
-        out_specs=(
-            bspec(m, 1),
-            bspec(m, n),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((tiles, N, m, 1, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, m, n, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((n, 1, LANES), dtype),
-            pltpu.VMEM((n, n, LANES), dtype),
-        ],
-        interpret=interpret,
-    )(*ins)
+    starts = list(range(0, N, chunk))
+    for s in reversed(starts):
+        e = min(s + chunk, N)
+        nc = e - s
+        ins = [x[:, s:e] for x in ins_full]
 
+        def bspec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (1, nc, *dims, LANES),
+                lambda i, nd=nd: (i,) + (0,) * (nd + 2),
+                memory_space=pltpu.VMEM,
+            )
+
+        def vspec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (1, 1, *dims, LANES),
+                lambda i, nd=nd: (i,) + (0,) * (nd + 2),
+                memory_space=pltpu.VMEM,
+            )
+
+        dspec = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+        kff_l, Kfb_l, Vx_c, Vxx_c, dV1_c = pl.pallas_call(
+            _make_kernel(nc, n, m, reg),
+            grid=(tiles,),
+            in_specs=[
+                bspec(n, n), bspec(n, m), bspec(n, 1), bspec(m, 1),
+                bspec(n, n), bspec(m, m), bspec(m, n),
+                vspec(n, 1), vspec(n, n), dspec,
+            ],
+            out_specs=(
+                bspec(m, 1), bspec(m, n), vspec(n, 1), vspec(n, n), dspec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((tiles, nc, m, 1, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nc, m, n, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, 1, n, 1, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, 1, n, n, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n, 1, LANES), dtype),
+                pltpu.VMEM((n, n, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(*ins, Vx_c, Vxx_c, dV1_c)
+        kff_parts.append(kff_l)
+        Kfb_parts.append(Kfb_l)
+
+    kff_l = jnp.concatenate(kff_parts[::-1], axis=1)
+    Kfb_l = jnp.concatenate(Kfb_parts[::-1], axis=1)
     kff = _from_lane(kff_l, Bt)[..., 0]
     Kfb = _from_lane(Kfb_l, Bt)
-    dV1 = _from_lane(dV1_l[:, None], Bt)[:, 0, 0]
+    dV1 = _from_lane(dV1_c[:, None], Bt)[:, 0, 0]
     return kff, Kfb, dV1

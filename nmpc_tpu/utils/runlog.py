@@ -70,6 +70,24 @@ def save_run(path, result, meta: dict | None = None) -> RunLog:
     return log
 
 
+def save_warm(path, warm) -> None:
+    """Persist solver warm-start state (U, lam, mu) — 'resume' for MPC is
+    warm-start persistence (SURVEY.md §5.4)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, U=np.asarray(warm.U), lam=np.asarray(warm.lam),
+                        mu=np.asarray(warm.mu))
+
+
+def load_warm(path):
+    from nmpc_tpu.solver.alilqr import WarmStart
+    import jax.numpy as jnp
+
+    with np.load(path if str(path).endswith(".npz") else str(path) + ".npz") as z:
+        return WarmStart(U=jnp.asarray(z["U"]), lam=jnp.asarray(z["lam"]),
+                         mu=jnp.asarray(z["mu"]))
+
+
 def load_run(path) -> RunLog:
     with np.load(Path(path).with_suffix(".npz") if not str(path).endswith(".npz") else path,
                  allow_pickle=False) as z:

@@ -1,0 +1,88 @@
+"""ADMM QP solver (OSQP capability) tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmpc_tpu.solver.admm import ADMMConfig, build_ltv_mpc_qp, qp_setup, qp_solve
+
+
+def test_box_qp_matches_scipy():
+    rng = np.random.default_rng(0)
+    n, mrows = 12, 8
+    M = rng.normal(size=(n, n))
+    P = jnp.asarray(M @ M.T + np.eye(n), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    A = jnp.asarray(rng.normal(size=(mrows, n)), jnp.float32)
+    l = jnp.asarray(-0.5 * np.ones(mrows), jnp.float32)
+    u = jnp.asarray(0.5 * np.ones(mrows), jnp.float32)
+    fac = qp_setup(P, A)
+    x, y, iters, done, prim = jax.jit(qp_solve)(fac, q, l, u)
+    assert bool(done)
+    from scipy.optimize import minimize
+
+    res = minimize(
+        lambda z: 0.5 * z @ np.array(P) @ z + np.array(q) @ z,
+        np.zeros(n),
+        constraints=[
+            {"type": "ineq", "fun": lambda z: np.array(u) - np.array(A) @ z},
+            {"type": "ineq", "fun": lambda z: np.array(A) @ z - np.array(l)},
+        ],
+        method="SLSQP",
+        options={"maxiter": 200, "ftol": 1e-12},
+    )
+    obj_admm = 0.5 * np.array(x) @ np.array(P) @ np.array(x) + np.array(q) @ np.array(x)
+    assert abs(obj_admm - res.fun) / (1 + abs(res.fun)) < 1e-3
+    assert float(prim) < 1e-3
+
+
+def test_qp_batched_vmap():
+    rng = np.random.default_rng(1)
+    n, mrows, B = 6, 4, 16
+    M = rng.normal(size=(n, n))
+    P = jnp.asarray(M @ M.T + np.eye(n), jnp.float32)
+    A = jnp.asarray(rng.normal(size=(mrows, n)), jnp.float32)
+    fac = qp_setup(P, A)
+    qs = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+    ls = jnp.full((B, mrows), -1.0, jnp.float32)
+    us = jnp.full((B, mrows), 1.0, jnp.float32)
+    xs, ys, its, dones, prims = jax.jit(
+        jax.vmap(functools.partial(qp_solve), in_axes=(None, 0, 0, 0))
+    )(fac, qs, ls, us)
+    assert xs.shape == (B, n)
+    assert bool(jnp.all(dones))
+
+
+def test_ltv_mpc_qp_reference_structure():
+    # small double-integrator LTV MPC (the mpc_osqp_test.py pattern)
+    Ts = 0.1
+    Ad = jnp.array([[1.0, Ts], [0.0, 1.0]])
+    Bd = jnp.array([[0.5 * Ts * Ts], [Ts]])
+    Qd = jnp.diag(jnp.array([10.0, 1.0]))
+    Rd = jnp.array([[0.1]])
+    N = 20
+    P, A, l, u, pack = build_ltv_mpc_qp(
+        Ad, Bd, Qd, Rd, Qd, N,
+        x_lo=jnp.array([-5.0, -2.0]), x_hi=jnp.array([5.0, 2.0]),
+        u_lo=jnp.array([-1.0]), u_hi=jnp.array([1.0]),
+    )
+    fac = qp_setup(P, A, l=l, u=u)
+    x_init = jnp.array([2.0, 0.0])
+    l_k, u_k = pack(x_init)
+    q = jnp.zeros(P.shape[0])
+    z, y, iters, done, prim = jax.jit(
+        functools.partial(qp_solve, cfg=ADMMConfig(max_iter=2000))
+    )(fac, q, l_k, u_k)
+    assert bool(done)
+    nx = 2
+    X = np.array(z[: (N + 1) * nx]).reshape(N + 1, nx)
+    U = np.array(z[(N + 1) * nx :]).reshape(N, 1)
+    # drives toward the origin, respects input box, dynamics hold
+    np.testing.assert_allclose(X[0], [2.0, 0.0], atol=1e-2)
+    assert abs(X[-1][0]) < 0.75 * 2.0
+    assert np.abs(U).max() <= 1.0 + 1e-3
+    np.testing.assert_allclose(
+        X[1:], (np.array(Ad) @ X[:-1].T + np.array(Bd) @ U.T).T, atol=5e-3
+    )
