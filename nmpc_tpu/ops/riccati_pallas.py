@@ -98,7 +98,11 @@ def _make_kernel(N, n, m, reg):
         Vxx_s[...] = Vxx_in[0, 0]
         dV1_ref[...] = dV1_in[...]
 
-        for kidx in range(N - 1, -1, -1):
+        # fori_loop over stages (dynamic ref indexing) keeps the compiled
+        # kernel size independent of the chunk length — the per-stage
+        # small-matrix algebra is unrolled once, not N times
+        def stage(t, _):
+            kidx = N - 1 - t
             A = A_ref[0, kidx]      # [n, n, T]
             Bm = B_ref[0, kidx]     # [n, m, T]
             lx = lx_ref[0, kidx]    # [n, 1, T]
@@ -130,7 +134,9 @@ def _make_kernel(N, n, m, reg):
             # (Qux'Kfb)^T = Kfb'Qux, and Qxx is symmetric by construction.
             Vx_s[...] = Qx + _mtm(Qux, kff)
             Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
+            return 0
 
+        jax.lax.fori_loop(0, N, stage, 0)
         Vx_out[0, 0] = Vx_s[...]
         Vxx_out[0, 0] = Vxx_s[...]
 
