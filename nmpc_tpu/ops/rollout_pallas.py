@@ -1,0 +1,288 @@
+"""Pallas TPU kernels: fused line-search rollouts for the batched solver.
+
+After fusing the Riccati sweep, profiling shows the parallel line search
+dominates the AL-iLQR iteration (~29 ms of a ~30 ms inner step at B=4096):
+eight vmapped `lax.scan` rollouts of tiny per-stage ops. These kernels fuse
+the whole candidate evaluation — closed-loop rollout under the LQR gains,
+stage cost, and the PHR penalty — into lane-major Pallas programs:
+
+  * `linesearch_costs`: grid (batch-tiles, n_alphas); each instance rolls its
+    alpha for 128 scenarios and emits the AL merit. Pass alpha 0 first and
+    the current-iterate cost comes out of the same kernel.
+  * `rollout_alpha`: rolls one per-element alpha (the line-search winner) and
+    writes the accepted trajectory.
+
+Numeric problem data (weights, bounds, dmin^2, dt, alphas) is passed through
+an SMEM parameter vector — the kernels never close over traced values.
+
+Supported problem class: plain stacked-unicycle Euler dynamics with pair
+collision rows + control/state boxes (the multi-robot families). Problems
+with obstacles / LiDAR rays / moving obstacles fall back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nmpc_tpu.ocp.problem import OCP, pair_indices
+
+LANES = 128
+
+
+def supports(ocp: OCP) -> bool:
+    return (
+        ocp.num_rays == 0
+        and ocp.n_obs == 0
+        and ocp.n_mov == 0
+        and ocp.integrator == "euler"
+    )
+
+
+class _P:
+    """Static offsets into the SMEM parameter vector."""
+
+    def __init__(self, n, mc, n_alphas):
+        self.q = 0
+        self.r = self.q + n
+        self.u_lo = self.r + mc
+        self.u_hi = self.u_lo + mc
+        self.x_lo = self.u_hi + mc
+        self.x_hi = self.x_lo + n
+        self.dmin2 = self.x_hi + n
+        self.dt = self.dmin2 + 1
+        self.alphas = self.dt + 1
+        self.size = self.alphas + n_alphas
+
+
+def _pack_params(ocp: OCP, alphas):
+    return jnp.concatenate([
+        ocp.Qdiag, ocp.Rdiag, ocp.u_lo, ocp.u_hi, ocp.x_lo, ocp.x_hi,
+        ocp.dmin2[None], ocp.T[None], jnp.asarray(alphas, ocp.Qdiag.dtype),
+    ])[None, :]
+
+
+def _feedback_u(nx, x, xbar, ubar, kffk, Kk, alpha):
+    """u = ubar + alpha kff + K (x - xbar), lane-major unrolled."""
+    dx = x - xbar
+    acc = ubar + alpha * kffk[:, 0]
+    for j in range(nx):
+        acc = acc + Kk[:, j] * dx[j : j + 1]
+    return acc
+
+
+def _euler_rows(nrob, x, u, dt):
+    rows = []
+    for r in range(nrob):
+        th = x[3 * r + 2 : 3 * r + 3]
+        v = u[2 * r : 2 * r + 1]
+        w = u[2 * r + 1 : 2 * r + 2]
+        rows.append(x[3 * r : 3 * r + 1] + dt * v * jnp.cos(th))
+        rows.append(x[3 * r + 1 : 3 * r + 2] + dt * v * jnp.sin(th))
+        rows.append(th + dt * w)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu):
+    """Lane-major AL merit contribution of one stage."""
+    n, mc, nrob = ocp.nx, ocp.nu, ocp.m
+    cost = jnp.zeros_like(x[0:1])
+    dxr = x - xref_k
+    for i in range(n):
+        cost = cost + prm[0, P.q + i] * dxr[i : i + 1] * dxr[i : i + 1]
+    for i in range(mc):
+        cost = cost + prm[0, P.r + i] * u[i : i + 1] * u[i : i + 1]
+
+    pen = jnp.zeros_like(cost)
+    row = 0
+
+    def phr(c_row, row, x_dep):
+        act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+        if x_dep:
+            act = jnp.where(k == 0, 0.0, act)
+        return act * act
+
+    if ocp.n_pairs:
+        for i, j in zip(*pair_indices(nrob)):
+            dx = x[3 * i : 3 * i + 1] - x[3 * j : 3 * j + 1]
+            dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
+            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
+            pen = pen + phr(c_row, row, True)
+            row += 1
+    for i in range(mc):
+        pen = pen + phr(u[i : i + 1] - prm[0, P.u_lo + i], row, False)
+        row += 1
+    for i in range(mc):
+        pen = pen + phr(prm[0, P.u_hi + i] - u[i : i + 1], row, False)
+        row += 1
+    for i in range(n):
+        pen = pen + phr(x[i : i + 1] - prm[0, P.x_lo + i], row, True)
+        row += 1
+    for i in range(n):
+        pen = pen + phr(prm[0, P.x_hi + i] - x[i : i + 1], row, True)
+        row += 1
+    return cost + pen / (2.0 * mu)
+
+
+def _make_cost_kernel(ocp: OCP, P):
+    N, n = ocp.N, ocp.nx
+
+    def kernel(prm, x0_ref, X_ref, U_ref, kff_ref, Kfb_ref, xref_ref, lam_ref,
+               mu_ref, cost_ref, x_s):
+        a = pl.program_id(1)
+        alpha = prm[0, P.alphas + a]
+        dt = prm[0, P.dt]
+        x_s[...] = x0_ref[0, 0]
+        mu = mu_ref[0]
+
+        def stage(k, acc):
+            x = x_s[...]
+            u = _feedback_u(n, x, X_ref[0, k], U_ref[0, k],
+                            kff_ref[0, k], Kfb_ref[0, k], alpha)
+            merit = _stage_merit(ocp, P, prm, k, x, u, xref_ref[0, k],
+                                 lam_ref[0, k], mu)
+            x_s[...] = _euler_rows(ocp.m, x, u, dt)
+            return acc + merit
+
+        total = jax.lax.fori_loop(0, N, stage, jnp.zeros_like(mu))
+        cost_ref[0, 0] = total
+
+    return kernel
+
+
+def _make_rollout_kernel(ocp: OCP, P):
+    N, n = ocp.N, ocp.nx
+
+    def kernel(prm, x0_ref, X_ref, U_ref, kff_ref, Kfb_ref, alpha_ref,
+               Xout_ref, Uout_ref, x_s):
+        dt = prm[0, P.dt]
+        alpha = alpha_ref[0]
+        x_s[...] = x0_ref[0, 0]
+
+        def stage(k, _):
+            x = x_s[...]
+            u = _feedback_u(n, x, X_ref[0, k], U_ref[0, k],
+                            kff_ref[0, k], Kfb_ref[0, k], alpha)
+            x_next = _euler_rows(ocp.m, x, u, dt)
+            Uout_ref[0, k] = u
+            Xout_ref[0, k] = x_next
+            x_s[...] = x_next
+            return 0
+
+        jax.lax.fori_loop(0, N, stage, 0)
+
+    return kernel
+
+
+def _to_lane(x, tiles):
+    xt = jnp.moveaxis(x, 0, -1)
+    xt = xt.reshape(*xt.shape[:-1], tiles, LANES)
+    return jnp.moveaxis(xt, -2, 0)
+
+
+def _from_lane(x, Bt):
+    xt = jnp.moveaxis(x, 0, -2)
+    xt = xt.reshape(*xt.shape[:-2], Bt)
+    return jnp.moveaxis(xt, -1, 0)
+
+
+def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
+                     interpret=None):
+    """AL merit for every alpha: returns costs [n_alphas, Bt].
+
+    x0 [Bt,n], X [Bt,N+1,n] (nominal), U [Bt,N,m], kff [Bt,N,m],
+    Kfb [Bt,N,m,n], xref [Bt,N,n], lam [Bt,N,nc], mu [Bt]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Bt = x0.shape[0]
+    assert Bt % LANES == 0
+    tiles = Bt // LANES
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    A = len(alphas)
+    dtype = x0.dtype
+    P = _P(n, mc, A)
+    prm = _pack_params(ocp, alphas)
+
+    ins = (
+        prm,
+        _to_lane(x0[:, None], tiles),
+        _to_lane(X[:, :-1], tiles),
+        _to_lane(U, tiles),
+        _to_lane(kff[..., None, :].swapaxes(-1, -2), tiles),
+        _to_lane(Kfb, tiles),
+        _to_lane(xref, tiles),
+        _to_lane(lam, tiles),
+        _to_lane(mu[:, None], tiles),
+    )
+
+    def vs(*dims):
+        nd = len(dims)
+        return pl.BlockSpec((1, *dims, LANES),
+                            lambda i, a, nd=nd: (i,) + (0,) * (nd + 1),
+                            memory_space=pltpu.VMEM)
+
+    sm = pl.BlockSpec((1, P.size), lambda i, a: (0, 0), memory_space=pltpu.SMEM)
+    costs = pl.pallas_call(
+        _make_cost_kernel(ocp, P),
+        grid=(tiles, A),
+        in_specs=[
+            sm, vs(1, n), vs(N, n), vs(N, mc), vs(N, mc, 1), vs(N, mc, n),
+            vs(N, n), vs(N, ocp.n_con),
+            pl.BlockSpec((1, 1, LANES), lambda i, a: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, LANES), lambda i, a: (i, a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, A, 1, LANES), dtype),
+        scratch_shapes=[pltpu.VMEM((n, LANES), dtype)],
+        interpret=interpret,
+    )(*ins)
+    return jnp.moveaxis(costs[:, :, 0, :], 0, -2).reshape(A, Bt)
+
+
+def rollout_alpha(ocp: OCP, x0, X, U, kff, Kfb, alpha, interpret=None):
+    """Accepted-candidate rollout: per-element alpha [Bt]. Returns
+    (X_new [Bt,N+1,n], U_new [Bt,N,m])."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Bt = x0.shape[0]
+    assert Bt % LANES == 0
+    tiles = Bt // LANES
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    dtype = x0.dtype
+    P = _P(n, mc, 1)
+    prm = _pack_params(ocp, (0.0,))
+
+    ins = (
+        prm,
+        _to_lane(x0[:, None], tiles),
+        _to_lane(X[:, :-1], tiles),
+        _to_lane(U, tiles),
+        _to_lane(kff[..., None, :].swapaxes(-1, -2), tiles),
+        _to_lane(Kfb, tiles),
+        _to_lane(alpha[:, None], tiles),
+    )
+
+    def vs(*dims):
+        nd = len(dims)
+        return pl.BlockSpec((1, *dims, LANES),
+                            lambda i, nd=nd: (i,) + (0,) * (nd + 1),
+                            memory_space=pltpu.VMEM)
+
+    sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    Xl, Ul = pl.pallas_call(
+        _make_rollout_kernel(ocp, P),
+        grid=(tiles,),
+        in_specs=[sm, vs(1, n), vs(N, n), vs(N, mc), vs(N, mc, 1), vs(N, mc, n),
+                  pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(vs(N, n), vs(N, mc)),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, N, n, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, N, mc, LANES), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, LANES), dtype)],
+        interpret=interpret,
+    )(*ins)
+    X_new = jnp.concatenate([x0[:, None], _from_lane(Xl, Bt)], axis=1)
+    return X_new, _from_lane(Ul, Bt)

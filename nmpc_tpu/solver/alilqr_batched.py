@@ -30,6 +30,7 @@ from nmpc_tpu.solver.alilqr import (
     _stage_jacobians,
 )
 from nmpc_tpu.ops.riccati_pallas import LANES, riccati_fused
+from nmpc_tpu.ops import rollout_pallas
 
 _BATCH_FIELDS = ("x0", "xref")
 
@@ -109,6 +110,8 @@ def solve_batched(
     U, lam, mu = warm.U, warm.lam, warm.mu
     X = _rollout_b(ocp_b, U)
     alphas = jnp.asarray(cfg.alphas, dtype)
+    use_pallas_ls = rollout_pallas.supports(ocp_b)
+    ls_alphas = (0.0,) + tuple(cfg.alphas)  # row 0 = current-iterate merit
 
     def inner(X, U, lam, mu):
         cost0 = _al_cost_b(ocp_b, X, U, lam, mu)
@@ -122,23 +125,40 @@ def solve_batched(
             A, Bm, lx, lu, lxx, luu, lux = _expansions(ocp_b, X, U, lam, mu)
             kff, Kfb, dV1 = riccati_fused(A, Bm, lx, lu, lxx, luu, lux, reg=cfg.reg)
 
-            def try_alpha(a):
-                Xn, Un = _forward_b(ocp_b, X, U, kff, Kfb, jnp.full((Bt,), a, dtype))
-                return Xn, Un, _al_cost_b(ocp_b, Xn, Un, lam, mu)
+            if use_pallas_ls:
+                # fused kernel: all candidate rollouts + merits in one call
+                costs_all = rollout_pallas.linesearch_costs(
+                    ocp_b, ocp_b.x0, X, U, kff, Kfb, ocp_b.xref, lam, mu, ls_alphas
+                )
+                cost_cur, costs = costs_all[0], costs_all[1:]
+            else:
+                cost_cur = cost
 
-            Xs, Us, costs = jax.vmap(try_alpha)(alphas)  # [A, Bt, ...]
+                def try_alpha(a):
+                    Xn, Un = _forward_b(ocp_b, X, U, kff, Kfb, jnp.full((Bt,), a, dtype))
+                    return Xn, Un, _al_cost_b(ocp_b, Xn, Un, lam, mu)
+
+                Xs, Us, costs = jax.vmap(try_alpha)(alphas)  # [A, Bt, ...]
+
             expected = cfg.armijo * alphas[:, None] * jnp.maximum(-dV1, 0.0)[None, :]
-            ok = (cost0[None] - costs) >= expected
+            ok = (cost_cur[None] - costs) >= expected
             masked = jnp.where(ok, costs, jnp.inf)
             best = jnp.argmin(masked, axis=0)            # [Bt]
             take = lambda arr: arr[best, jnp.arange(Bt)]  # per-element best
-            Xn, Un, costn = take(Xs), take(Us), take(costs)
-            okb = ok[best, jnp.arange(Bt)] & (costn < cost)
+            costn = take(costs)
+            okb = ok[best, jnp.arange(Bt)] & (costn < cost_cur)
             upd = okb & (~done)
-            Xn = jnp.where(upd[:, None, None], Xn, X)
-            Un = jnp.where(upd[:, None, None], Un, U)
-            costn = jnp.where(upd, costn, cost)
-            rel = (cost - costn) / (1.0 + jnp.abs(cost))
+            if use_pallas_ls:
+                alpha_best = jnp.where(upd, alphas[best], 0.0)
+                Xn, Un = rollout_pallas.rollout_alpha(
+                    ocp_b, ocp_b.x0, X, U, kff, Kfb, alpha_best
+                )
+            else:
+                Xn, Un = take(Xs), take(Us)
+                Xn = jnp.where(upd[:, None, None], Xn, X)
+                Un = jnp.where(upd[:, None, None], Un, U)
+            costn = jnp.where(upd, costn, cost_cur)
+            rel = (cost_cur - costn) / (1.0 + jnp.abs(cost_cur))
             done = done | (~okb) | (rel < cfg.tol_cost)
             return (Xn, Un, costn, it + 1, done)
 
