@@ -20,7 +20,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from nmpc_tpu.mpc.driver import MPCResult
 from nmpc_tpu.ocp.problem import OCP
 from nmpc_tpu.sim.lidar import obstacle_points, ray_angles, raycast
 from nmpc_tpu.sim.plant import PlantConfig, plant_step

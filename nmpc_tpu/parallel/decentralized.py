@@ -15,7 +15,6 @@ ICI-collective analog of the reference's ROS topic bus (SURVEY.md §5.8).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -78,3 +78,22 @@ def test_lidar_closed_loop_avoids_and_reaches():
     U = np.array(U)
     assert np.abs(U[:, 0]).max() <= 0.15 + 1e-3
     assert np.abs(U[:, 1]).max() <= 1.5 + 1e-3
+
+
+def test_gn_closed_loop_waypoints():
+    """Driver integration: the condensed GN engine (Nc blocking) drives the
+    waypoint loop through solve_fn (slsqp_multigoal semantics: Nc=1)."""
+    import jax.numpy as jnp
+
+    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop_waypoints
+
+    sc = get("slsqp_multigoal")
+    ocp = sc.make()
+    cfg = gn.GNConfig(Nc=sc.Nc, n_gn=15, n_outer=6)
+    solve_fn = lambda o, w: gn.solve(o, w, cfg)
+    mpc = MPCConfig(max_steps=100, advance_tol=sc.advance_tol, escape=True)
+    r = jax.jit(functools.partial(
+        closed_loop_waypoints, waypoints=sc.waypoint_array,
+        solver_cfg=gn.GNConfig(Nc=sc.Nc), mpc=mpc, solve_fn=solve_fn))(ocp)
+    # reaches at least the first waypoint (2,2,0) with Dt=0.5 steps
+    assert int(r.goal_idx_hist[-1]) >= 1

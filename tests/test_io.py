@@ -3,7 +3,6 @@
 import time
 
 import numpy as np
-import pytest
 
 from nmpc_tpu.io.bridge import Bus, Rate, UdpPublisher, UdpSubscriber, ensure_built
 

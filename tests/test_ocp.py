@@ -1,11 +1,10 @@
 """OCP construction tests (L2): costs, constraints, transcription parity."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nmpc_tpu.ocp import problem as P
-from nmpc_tpu.ocp.problem import make_ocp, num_pairs, pair_indices
+from nmpc_tpu.ocp.problem import pair_indices
 from nmpc_tpu.scenarios import REGISTRY, get
 
 

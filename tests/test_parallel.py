@@ -7,7 +7,6 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nmpc_tpu.parallel.batch import batch_ocp, batched_solve, random_starts, shard_ocp_batch
 from nmpc_tpu.parallel.decentralized import (

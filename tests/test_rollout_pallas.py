@@ -1,7 +1,5 @@
 """Fused line-search kernels vs the XLA reference path (interpret mode)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,12 +6,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from nmpc_tpu.ocp import problem as P
 from nmpc_tpu.ocp.problem import make_ocp
 from nmpc_tpu.scenarios import get
-from nmpc_tpu.solver.alilqr import ALILQRConfig, cold_start, solve
+from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
 
 from oracle import solve_oracle
 
