@@ -46,8 +46,14 @@ CFG_RT = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3)
 def main():
     def measure(ocp, cfg):
         f = jax.jit(functools.partial(solve, cfg=cfg))
+        # converge first with the FULL config so the timed warm loop starts
+        # from a proper steady state (a weak cold solve would poison the
+        # multipliers and never recover)
+        f_full = jax.jit(functools.partial(solve, cfg=CFG))
+        res = f_full(ocp)
+        res.U.block_until_ready()
         res = f(ocp)
-        res.U.block_until_ready()  # compile + cold solve
+        res.U.block_until_ready()  # compile the measured config
         warm = WarmStart(
             U=jnp.concatenate([res.U[1:], res.U[-1:]], 0),
             lam=jnp.concatenate([res.lam[1:], res.lam[-1:]], 0),
@@ -74,6 +80,17 @@ def main():
         st["viol"] = float(np.max(viols))
         return st
 
+    # current tunnel round-trip floor: a trivial jitted call, blocking
+    triv = jax.jit(lambda x: x + 1.0)
+    _ = triv(jnp.zeros(8)).block_until_ready()
+    rtt = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        triv(jnp.zeros(8)).block_until_ready()
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1e3)
+    print(f"tunnel RTT floor (trivial jit call): {rtt_ms:.2f} ms", flush=True)
+
     rows = []
     for name, over in CASES:
         sc = get(name)
@@ -93,9 +110,10 @@ def main():
             "steady state. Budget = the reference's control period T\n"
             "(the IPOPT solve must fit inside it for the loop to run at rate).\n\n"
             "Caveat: this dev environment reaches the TPU through a network\n"
-            "tunnel whose RPC path occasionally hiccups by ~1 s, which poisons\n"
-            "p99 wall-clock; p50 and min are the honest device-side numbers\n"
-            "(re-measure tails on directly attached hardware).\n\n"
+            "tunnel; every blocking call pays its round-trip (measured floor\n"
+            f"~{rtt_ms:.1f} ms at generation time, and it varies run to run —\n"
+            "subtract it to estimate device-side latency; re-measure on\n"
+            "directly attached hardware for production numbers).\n\n"
             "'full' = the bench solver config; 'rt' = the steady-state MPC\n"
             "config (2 outer x 5 inner, warm-started; max constraint violation\n"
             "observed over the run is reported).\n\n"
