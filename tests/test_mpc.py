@@ -159,3 +159,16 @@ def test_obstacle_waypoint_closed_loop():
     # realized clearance from the obstacle never dips below r_rob + r_obs
     assert d.min() >= 0.15 + 0.15 - 1e-2
     assert int(r.goal_idx_hist[-1]) >= 1  # reached at least the first goal
+
+
+def test_rk4_integrator_closed_loop():
+    # mpc_pose_control_casadi.py capability: RK4 transcription (:43-59)
+    ocp = make_ocp(m=1, N=20, T=0.1, x0=[0, 0, 0], x_goal=[1, 1, 0],
+                   integrator="rk4")
+    mpc = MPCConfig(max_steps=250, stop_tol=5e-2, escape=True)
+    from nmpc_tpu.sim.plant import PlantConfig
+
+    r = jax.jit(functools.partial(
+        closed_loop, solver_cfg=FAST, mpc=mpc,
+        plant=PlantConfig(integrator="rk4")))(ocp)
+    assert bool(r.reached)
