@@ -33,11 +33,19 @@ def main():
     x0s = base.x0[None] + noise
     ob = batch_ocp(base, x0s)
 
-    # batch-native solver: the Riccati backward sweep is the fused Pallas
-    # kernel (ops/riccati_pallas.py) — ~1.5x over the vmapped engine
+    # batch-native solver: the Riccati backward sweep and line-search rollouts
+    # are fused Pallas kernels; fall back to the vmapped engine if the Pallas
+    # path fails to compile in this environment
     run = jax.jit(functools.partial(solve_batched, cfg=cfg))
-    res = run(ob)
-    res.cost.block_until_ready()  # compile + warm-up
+    try:
+        res = run(ob)
+        res.cost.block_until_ready()  # compile + warm-up
+    except Exception:
+        from nmpc_tpu.parallel.batch import batched_solve
+
+        run = jax.jit(functools.partial(batched_solve, cfg=cfg))
+        res = run(ob)
+        res.cost.block_until_ready()
 
     iters = 4
     t0 = time.perf_counter()

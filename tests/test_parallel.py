@@ -7,6 +7,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nmpc_tpu.parallel.batch import batch_ocp, batched_solve, random_starts, shard_ocp_batch
 from nmpc_tpu.parallel.decentralized import (
@@ -95,3 +96,21 @@ def test_graft_entry_and_dryrun():
     assert U.shape == (10, 12)
     assert bool(jnp.isfinite(cost))
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_decentralized_six_robot_antipodal():
+    """The paper-headline geometry solved in decentralized mode: six 3-state
+    NMPCs with plan exchange, no central solver."""
+    ang = np.arange(6) * 2 * np.pi / 6
+    x0 = jnp.asarray(
+        np.stack([np.cos(ang), np.sin(ang), ang + np.pi], -1).reshape(-1), jnp.float32
+    )
+    goals = jnp.asarray(
+        np.stack([-np.cos(ang), -np.sin(ang), ang + np.pi], -1), jnp.float32
+    )
+    X, U, mind, done = jax.jit(functools.partial(
+        decentralized_closed_loop, N=30, T=0.1, dmin=0.3, max_steps=300
+    ))(x0, goals)
+    assert bool(done)
+    assert float(mind.min()) >= 0.3 - 1e-2
