@@ -130,8 +130,13 @@ def _stage_expansion(ocp: OCP, x, u, xref_k, lam_k, mov_k, mu):
 
     # PHR penalty: grad = -J' act, GN hess = mu J' 1[active] J
     c = P.stage_constraints(ocp, x, u, mov_k)
-    Jx = jax.jacfwd(lambda xx: P.stage_constraints(ocp, xx, u, mov_k))(x)
-    Ju = jax.jacfwd(lambda uu: P.stage_constraints(ocp, x, uu, mov_k))(u)
+    if ocp.num_rays == 0:
+        from nmpc_tpu.ocp.jacobians import stage_constraint_jacobians
+
+        Jx, Ju = stage_constraint_jacobians(ocp, x, mov_k)
+    else:
+        Jx = jax.jacfwd(lambda xx: P.stage_constraints(ocp, xx, u, mov_k))(x)
+        Ju = jax.jacfwd(lambda uu: P.stage_constraints(ocp, x, uu, mov_k))(u)
     act = jnp.maximum(0.0, lam_k - mu * c)
     w = mu * (act > 0.0).astype(x.dtype)
     lx = lx - Jx.T @ act

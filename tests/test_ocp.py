@@ -108,3 +108,30 @@ def test_lidar_augmented_dynamics():
     # pose advances by euler; ray distance is 1-norm to frozen p_obs
     np.testing.assert_allclose(xn[:3], [0.1 * ocp.T, 0.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(xn[3], 1.0 - 0.1 * float(ocp.T), rtol=1e-5)
+
+
+def test_analytic_constraint_jacobians_match_ad():
+    import jax
+
+    from nmpc_tpu.ocp.jacobians import stage_constraint_jacobians
+
+    cases = [
+        get("six_robot_antipodal").make(),                      # pairs + boxes
+        get("obstacle_scenario_2").make(),                      # obstacles
+    ]
+    # moving-obstacle template
+    from nmpc_tpu.parallel.decentralized import robot_template
+
+    cases.append(robot_template(10, 0.1, 0.3, 4))
+    key = jax.random.PRNGKey(0)
+    for ocp in cases:
+        for s in range(3):
+            key, k1, k2 = jax.random.split(key, 3)
+            x = ocp.x0 + 0.5 * jax.random.normal(k1, (ocp.nx,), ocp.x0.dtype)
+            u = 0.1 * jax.random.normal(k2, (ocp.nu,), ocp.x0.dtype)
+            mov = ocp.mov_obs[0] if ocp.n_mov else None
+            Jx, Ju = stage_constraint_jacobians(ocp, x, mov)
+            Jx_ad = jax.jacfwd(lambda xx: P.stage_constraints(ocp, xx, u, mov))(x)
+            Ju_ad = jax.jacfwd(lambda uu: P.stage_constraints(ocp, x, uu, mov))(u)
+            np.testing.assert_allclose(np.asarray(Jx), np.asarray(Jx_ad), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(Ju), np.asarray(Ju_ad), atol=1e-6)
