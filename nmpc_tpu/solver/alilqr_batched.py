@@ -114,7 +114,11 @@ def solve_batched(
     ls_alphas = (0.0,) + tuple(cfg.alphas)  # row 0 = current-iterate merit
 
     def inner(X, U, lam, mu):
-        cost0 = _al_cost_b(ocp_b, X, U, lam, mu)
+        # with the fused line-search kernel the current-iterate merit comes
+        # out of the kernel itself (alpha-0 row) every iteration — don't pay
+        # the sequential XLA rollout for it here
+        cost0 = (jnp.zeros((Bt,), dtype) if use_pallas_ls
+                 else _al_cost_b(ocp_b, X, U, lam, mu))
 
         def cond(c):
             _, _, _, it, done = c
