@@ -157,36 +157,21 @@ def _from_lane(x, Bt):
     return jnp.moveaxis(xt, -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("reg", "interpret"))
-def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
-    """Fused batched Riccati sweep.
+def riccati_lanes(ins_full, N, n, m, reg=1e-6, interpret=None):
+    """Lane-major fused Riccati sweep on pre-transposed inputs.
 
-    A [Bt,N,n,n], B [Bt,N,n,m], lx [Bt,N,n], lu [Bt,N,m], lxx [Bt,N,n,n],
-    luu [Bt,N,m,m], lux [Bt,N,m,n]  ->  kff [Bt,N,m], Kfb [Bt,N,m,n],
-    dV1 [Bt]. Bt must be a multiple of 128.
-    """
+    ins_full = (A, B, lx, lu, lxx, luu, lux) each [tiles, N, ..., LANES]
+    (lx/lu as [.., n, 1, L]/[.., m, 1, L]). Returns lane-major
+    (kff [tiles,N,m,1,L], Kfb [tiles,N,m,n,L], dV1 [tiles,1,L])."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"  # CPU tests: interpret mode
-    Bt, N, n, _ = A.shape
-    m = B.shape[-1]
-    assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
-    tiles = Bt // LANES
-    dtype = A.dtype
+        interpret = jax.default_backend() == "cpu"
+    tiles = ins_full[0].shape[0]
+    dtype = ins_full[0].dtype
 
     # Chunk the horizon so each pallas_call's (double-buffered) VMEM working
     # set stays well under the 16 MB budget.
     stage_bytes = (2 * n * n + 2 * n * m + m * m + 2 * n + 3 * m) * LANES * 4
     chunk = max(1, min(N, (5 * 1024 * 1024) // stage_bytes))
-
-    ins_full = [
-        _to_lane(A, tiles),
-        _to_lane(B, tiles),
-        _to_lane(lx[..., None, :].swapaxes(-1, -2), tiles),  # [Bt,N,n,1]
-        _to_lane(lu[..., None, :].swapaxes(-1, -2), tiles),
-        _to_lane(lxx, tiles),
-        _to_lane(luu, tiles),
-        _to_lane(lux, tiles),
-    ]
 
     Vx_c = jnp.zeros((tiles, 1, n, 1, LANES), dtype)
     Vxx_c = jnp.zeros((tiles, 1, n, n, LANES), dtype)
@@ -246,6 +231,31 @@ def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
 
     kff_l = jnp.concatenate(kff_parts[::-1], axis=1)
     Kfb_l = jnp.concatenate(Kfb_parts[::-1], axis=1)
+    return kff_l, Kfb_l, dV1_c
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "interpret"))
+def riccati_fused(A, B, lx, lu, lxx, luu, lux, reg=1e-6, interpret=None):
+    """Fused batched Riccati sweep (standard-layout wrapper of riccati_lanes).
+
+    A [Bt,N,n,n], B [Bt,N,n,m], lx [Bt,N,n], lu [Bt,N,m], lxx [Bt,N,n,n],
+    luu [Bt,N,m,m], lux [Bt,N,m,n]  ->  kff [Bt,N,m], Kfb [Bt,N,m,n],
+    dV1 [Bt]. Bt must be a multiple of 128.
+    """
+    Bt, N, n, _ = A.shape
+    m = B.shape[-1]
+    assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
+    tiles = Bt // LANES
+    ins_full = (
+        _to_lane(A, tiles),
+        _to_lane(B, tiles),
+        _to_lane(lx[..., None, :].swapaxes(-1, -2), tiles),  # [Bt,N,n,1]
+        _to_lane(lu[..., None, :].swapaxes(-1, -2), tiles),
+        _to_lane(lxx, tiles),
+        _to_lane(luu, tiles),
+        _to_lane(lux, tiles),
+    )
+    kff_l, Kfb_l, dV1_c = riccati_lanes(ins_full, N, n, m, reg, interpret)
     kff = _from_lane(kff_l, Bt)[..., 0]
     Kfb = _from_lane(Kfb_l, Bt)
     dV1 = _from_lane(dV1_c[:, None], Bt)[:, 0, 0]

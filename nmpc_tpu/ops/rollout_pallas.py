@@ -188,34 +188,22 @@ def _from_lane(x, Bt):
     return jnp.moveaxis(xt, -1, 0)
 
 
-def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
-                     interpret=None):
-    """AL merit for every alpha: returns costs [n_alphas, Bt].
-
-    x0 [Bt,n], X [Bt,N+1,n] (nominal), U [Bt,N,m], kff [Bt,N,m],
-    Kfb [Bt,N,m,n], xref [Bt,N,n], lam [Bt,N,nc], mu [Bt]."""
+def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
+                           lam_l, mu_l, alphas, interpret=None):
+    """Lane-major fused line search. Inputs [tiles, ..., LANES]:
+    x0_l [t,1,n,L], X_l [t,N,n,L] (stage states), U_l [t,N,m,L],
+    kff_l [t,N,m,1,L], Kfb_l [t,N,m,n,L], xref_l [t,N,n,L],
+    lam_l [t,N,nc,L], mu_l [t,1,L]. Returns costs [n_alphas, tiles*LANES]."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    Bt = x0.shape[0]
-    assert Bt % LANES == 0
-    tiles = Bt // LANES
+    tiles = x0_l.shape[0]
+    Bt = tiles * LANES
     N, n, mc = ocp.N, ocp.nx, ocp.nu
     A = len(alphas)
-    dtype = x0.dtype
+    dtype = x0_l.dtype
     P = _P(n, mc, A)
     prm = _pack_params(ocp, alphas)
-
-    ins = (
-        prm,
-        _to_lane(x0[:, None], tiles),
-        _to_lane(X[:, :-1], tiles),
-        _to_lane(U, tiles),
-        _to_lane(kff[..., None, :].swapaxes(-1, -2), tiles),
-        _to_lane(Kfb, tiles),
-        _to_lane(xref, tiles),
-        _to_lane(lam, tiles),
-        _to_lane(mu[:, None], tiles),
-    )
+    ins = (prm, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l)
 
     def vs(*dims):
         nd = len(dims)
@@ -241,28 +229,40 @@ def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
     return jnp.moveaxis(costs[:, :, 0, :], 0, -2).reshape(A, Bt)
 
 
-def rollout_alpha(ocp: OCP, x0, X, U, kff, Kfb, alpha, interpret=None):
-    """Accepted-candidate rollout: per-element alpha [Bt]. Returns
-    (X_new [Bt,N+1,n], U_new [Bt,N,m])."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
+                     interpret=None):
+    """AL merit for every alpha: returns costs [n_alphas, Bt].
+    Standard-layout wrapper of linesearch_costs_lanes."""
     Bt = x0.shape[0]
     assert Bt % LANES == 0
     tiles = Bt // LANES
-    N, n, mc = ocp.N, ocp.nx, ocp.nu
-    dtype = x0.dtype
-    P = _P(n, mc, 1)
-    prm = _pack_params(ocp, (0.0,))
-
-    ins = (
-        prm,
+    return linesearch_costs_lanes(
+        ocp,
         _to_lane(x0[:, None], tiles),
         _to_lane(X[:, :-1], tiles),
         _to_lane(U, tiles),
         _to_lane(kff[..., None, :].swapaxes(-1, -2), tiles),
         _to_lane(Kfb, tiles),
-        _to_lane(alpha[:, None], tiles),
+        _to_lane(xref, tiles),
+        _to_lane(lam, tiles),
+        _to_lane(mu[:, None], tiles),
+        alphas,
+        interpret,
     )
+
+
+def rollout_alpha_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, alpha_l,
+                        interpret=None):
+    """Lane-major accepted-candidate rollout. alpha_l [tiles, 1, LANES].
+    Returns (Xtail_l [t,N,n,L] — states 1..N, U_l_new [t,N,m,L])."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiles = x0_l.shape[0]
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    dtype = x0_l.dtype
+    P = _P(n, mc, 1)
+    prm = _pack_params(ocp, (0.0,))
+    ins = (prm, x0_l, X_l, U_l, kff_l, Kfb_l, alpha_l)
 
     def vs(*dims):
         nd = len(dims)
@@ -284,5 +284,24 @@ def rollout_alpha(ocp: OCP, x0, X, U, kff, Kfb, alpha, interpret=None):
         scratch_shapes=[pltpu.VMEM((n, LANES), dtype)],
         interpret=interpret,
     )(*ins)
+    return Xl, Ul
+
+
+def rollout_alpha(ocp: OCP, x0, X, U, kff, Kfb, alpha, interpret=None):
+    """Accepted-candidate rollout: per-element alpha [Bt]. Returns
+    (X_new [Bt,N+1,n], U_new [Bt,N,m]). Standard-layout wrapper."""
+    Bt = x0.shape[0]
+    assert Bt % LANES == 0
+    tiles = Bt // LANES
+    Xl, Ul = rollout_alpha_lanes(
+        ocp,
+        _to_lane(x0[:, None], tiles),
+        _to_lane(X[:, :-1], tiles),
+        _to_lane(U, tiles),
+        _to_lane(kff[..., None, :].swapaxes(-1, -2), tiles),
+        _to_lane(Kfb, tiles),
+        _to_lane(alpha[:, None], tiles),
+        interpret,
+    )
     X_new = jnp.concatenate([x0[:, None], _from_lane(Xl, Bt)], axis=1)
     return X_new, _from_lane(Ul, Bt)

@@ -29,8 +29,9 @@ from nmpc_tpu.solver.alilqr import (
     _stage_expansion,
     _stage_jacobians,
 )
-from nmpc_tpu.ops.riccati_pallas import LANES, riccati_fused
+from nmpc_tpu.ops.riccati_pallas import LANES, _from_lane, _to_lane, riccati_fused, riccati_lanes
 from nmpc_tpu.ops import rollout_pallas
+from nmpc_tpu.ops.expansions_pallas import expansions_fused
 
 _BATCH_FIELDS = ("x0", "xref")
 
@@ -84,6 +85,121 @@ def _forward_b(ocp_b: OCP, X, U, kff, Kfb, alpha):
     return _vm(one, ocp_b, X, U, kff, Kfb, alpha)
 
 
+def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> SolveResult:
+    """Fully lane-major solve loop: every per-iteration stage (expansions,
+    Riccati sweep, line search, accepted rollout) is a fused Pallas kernel on
+    [tiles, N, ..., 128] data — zero layout transposes inside the inner loop.
+    Only the per-outer multiplier update and final packaging run in the
+    standard layout."""
+    N, n, mc, nc = ocp_b.N, ocp_b.nx, ocp_b.nu, ocp_b.n_con
+    dtype = ocp_b.x0.dtype
+    tiles = Bt // LANES
+    alphas = jnp.asarray(cfg.alphas, dtype)
+    ls_alphas = (0.0,) + tuple(cfg.alphas)
+
+    x0_l = _to_lane(ocp_b.x0[:, None], tiles)        # [t, 1, n, L]
+    xref_l = _to_lane(ocp_b.xref, tiles)             # [t, N, n, L]
+    U_l = _to_lane(U, tiles)
+    zero_k = jnp.zeros((tiles, N, mc, 1, LANES), dtype)
+    zero_K = jnp.zeros((tiles, N, mc, n, LANES), dtype)
+    zero_a = jnp.zeros((tiles, 1, LANES), dtype)
+    # initial rollout: alpha = 0, zero gains -> u = ubar exactly
+    Xtail_l, U_l = rollout_pallas.rollout_alpha_lanes(
+        ocp_b, x0_l, jnp.zeros((tiles, N, n, LANES), dtype), U_l, zero_k, zero_K, zero_a
+    )
+
+    def lane_vec(a_l):  # [t, 1, L] -> [Bt]
+        return _from_lane(a_l[:, None], Bt)[:, 0, 0]
+
+    def stages(Xtail_l):
+        return jnp.concatenate([x0_l, Xtail_l[:, :-1]], axis=1)  # states 0..N-1
+
+    def inner(Xtail_l, U_l, lam_l, mu_l):
+        def cond(c):
+            _, _, _, it, done = c
+            return (it < cfg.n_inner) & (~jnp.all(done))
+
+        def body(c):
+            Xtail_l, U_l, cost, it, done = c
+            Xs_l = stages(Xtail_l)
+            exp = expansions_fused(ocp_b, Xs_l, U_l, xref_l, lam_l, mu_l)
+            kff_l, Kfb_l, dV1_c = riccati_lanes(exp, N, n, mc, cfg.reg)
+            dV1 = lane_vec(dV1_c)
+            costs_all = rollout_pallas.linesearch_costs_lanes(
+                ocp_b, x0_l, Xs_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l, ls_alphas
+            )
+            cost_cur, costs = costs_all[0], costs_all[1:]
+            expected = cfg.armijo * alphas[:, None] * jnp.maximum(-dV1, 0.0)[None, :]
+            ok = (cost_cur[None] - costs) >= expected
+            masked = jnp.where(ok, costs, jnp.inf)
+            best = jnp.argmin(masked, axis=0)
+            costn = costs[best, jnp.arange(Bt)]
+            okb = ok[best, jnp.arange(Bt)] & (costn < cost_cur)
+            upd = okb & (~done)
+            alpha_best = jnp.where(upd, alphas[best], 0.0)
+            alpha_l = _to_lane(alpha_best[:, None], tiles)
+            Xtail_n, U_n = rollout_pallas.rollout_alpha_lanes(
+                ocp_b, x0_l, Xs_l, U_l, kff_l, Kfb_l, alpha_l
+            )
+            costn = jnp.where(upd, costn, cost_cur)
+            rel = (cost_cur - costn) / (1.0 + jnp.abs(cost_cur))
+            done = done | (~okb) | (rel < cfg.tol_cost)
+            return (Xtail_n, U_n, costn, it + 1, done)
+
+        Xtail_l, U_l, cost, it, _ = jax.lax.while_loop(
+            cond, body,
+            (Xtail_l, U_l, jnp.zeros((Bt,), dtype), jnp.zeros((), jnp.int32),
+             jnp.zeros((Bt,), bool)),
+        )
+        return Xtail_l, U_l, it
+
+    def constraints_std(Xtail_l, U_l):
+        Xs = _from_lane(stages(Xtail_l), Bt)           # [Bt, N, n]
+        U = _from_lane(U_l, Bt)
+        X_full = jnp.concatenate([Xs, Xs[:, -1:]], axis=1)  # fake terminal (unused)
+        return Xs, U, _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u),
+                          ocp_b, X_full, U)
+
+    def outer_cond(c):
+        _, _, _, _, it, _, done = c
+        return (it < cfg.n_outer) & (~jnp.all(done))
+
+    def outer_body(c):
+        Xtail_l, U_l, lam, mu, it, inner_tot, done = c
+        lam_l = _to_lane(lam, tiles)
+        mu_l = _to_lane(mu[:, None], tiles)
+        Xtail_l, U_l, iters = inner(Xtail_l, U_l, lam_l, mu_l)
+        _, _, cmask = constraints_std(Xtail_l, U_l)
+        viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+        lam_new = jnp.clip(
+            jnp.maximum(0.0, lam - mu[:, None, None] * cmask), 0.0, cfg.lam_max
+        )
+        newly = viol < cfg.tol_con
+        lam = jnp.where(done[:, None, None], lam, lam_new)
+        mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
+        done = done | newly
+        return (Xtail_l, U_l, lam, mu, it + 1, inner_tot + iters, done)
+
+    zero = jnp.zeros((), jnp.int32)
+    Xtail_l, U_l, lam, mu, outer, inner_tot, done = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (Xtail_l, U_l, lam, mu, zero, zero, jnp.zeros((Bt,), bool)),
+    )
+
+    Xs, U, cmask = constraints_std(Xtail_l, U_l)
+    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+    X = jnp.concatenate([ocp_b.x0[:, None], _from_lane(Xtail_l, Bt)], axis=1)
+    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    trim = lambda a: a[:B]
+    return SolveResult(
+        X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
+        cost=trim(cost), viol=trim(viol),
+        inner_iters=jnp.broadcast_to(inner_tot, (B,)),
+        outer_iters=jnp.broadcast_to(outer, (B,)),
+        converged=trim(done),
+    )
+
+
 def solve_batched(
     ocp_b: OCP,
     warm: WarmStart | None = None,
@@ -108,9 +224,12 @@ def solve_batched(
             mu=jnp.full((Bt,), cfg.mu_init, dtype),
         )
     U, lam, mu = warm.U, warm.lam, warm.mu
+    use_pallas_ls = rollout_pallas.supports(ocp_b)
+    if use_pallas_ls:
+        # fully lane-major fused path
+        return _solve_lanes(ocp_b, U, lam, mu, cfg, B, Bt)
     X = _rollout_b(ocp_b, U)
     alphas = jnp.asarray(cfg.alphas, dtype)
-    use_pallas_ls = rollout_pallas.supports(ocp_b)
     ls_alphas = (0.0,) + tuple(cfg.alphas)  # row 0 = current-iterate merit
 
     def inner(X, U, lam, mu):

@@ -1,0 +1,51 @@
+"""Fused expansions kernel vs the XLA/AD expansion path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmpc_tpu.ocp.problem import x_dependent_rows
+from nmpc_tpu.ops.expansions_pallas import expansions_fused
+from nmpc_tpu.ops.riccati_pallas import _to_lane
+from nmpc_tpu.parallel.batch import batch_ocp
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.solver import alilqr_batched as ab
+
+
+def test_expansions_fused_matches_xla():
+    B = 128
+    base = get("two_robot_swap").make(N=6)
+    x0s = base.x0[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (B, base.nx), base.x0.dtype
+    )
+    ob = batch_ocp(base, x0s)
+    U = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, base.N, base.nu))
+    lam = 0.2 * jax.random.uniform(jax.random.PRNGKey(2), (B, base.N, base.n_con))
+    # stage-0 state-dependent rows carry no multipliers (the masked rows —
+    # the AL update keeps them at zero; the kernel hard-masks them)
+    xdep = np.asarray(x_dependent_rows(base))
+    lam = lam.at[:, 0, xdep].set(0.0)
+    mu = jnp.full((B,), 10.0)
+    X = ab._rollout_b(ob, U)
+
+    A, Bm, lx, lu, lxx, luu, lux = ab._expansions(ob, X, U, lam, mu)
+
+    tiles = B // 128
+    X_l = _to_lane(X[:, :-1], tiles)
+    U_l = _to_lane(U, tiles)
+    xref_l = _to_lane(ob.xref, tiles)
+    lam_l = _to_lane(lam, tiles)
+    mu_l = _to_lane(mu[:, None], tiles)
+    Ap, Bp, lxp, lup, lxxp, luup, luxp = expansions_fused(
+        base, X_l, U_l, xref_l, lam_l, mu_l
+    )
+
+    from nmpc_tpu.ops.riccati_pallas import _from_lane
+
+    np.testing.assert_allclose(np.asarray(_from_lane(Ap, B)), np.asarray(A), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(_from_lane(Bp, B)), np.asarray(Bm), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(_from_lane(lxp, B))[..., 0], np.asarray(lx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_from_lane(lup, B))[..., 0], np.asarray(lu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_from_lane(lxxp, B)), np.asarray(lxx), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(_from_lane(luup, B)), np.asarray(luu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_from_lane(luxp, B)), np.asarray(lux), atol=1e-6)
