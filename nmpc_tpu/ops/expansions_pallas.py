@@ -97,6 +97,23 @@ def _make_expansion_kernel(ocp: OCP, P):
                 pair_data.append((i, j, gx, gy, w))
                 row += 1
 
+            # obstacle rows: c = |p_i - o| - keepout, J = unit vector at p_i
+            obs_data = []
+            for i in range(nrob):
+                for o in range(ocp.n_obs):
+                    dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
+                    dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
+                    dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+                    c_row = dist - prm[0, P.obs + 3 * o + 2]
+                    act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+                    act = jnp.where(k == 0, 0.0, act)
+                    w = mu * (act > 0.0).astype(act.dtype)
+                    ux, uy = dx / dist, dy / dist
+                    lx_rows[3 * i] = lx_rows[3 * i] - ux * act
+                    lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uy * act
+                    obs_data.append((i, ux, uy, w))
+                    row += 1
+
             du_diag = []
             for i in range(mc):
                 a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
@@ -142,6 +159,12 @@ def _make_expansion_kernel(ocp: OCP, P):
                 add(yi, yj, -wyy); add(yj, yi, -wyy)
                 add(xi, yj, -wxy); add(yj, xi, -wxy)
                 add(yi, xj, -wxy); add(xj, yi, -wxy)
+            for (i, ux, uy, w) in obs_data:
+                xi, yi = 3 * i, 3 * i + 1
+                add(xi, xi, w * ux * ux)
+                add(yi, yi, w * uy * uy)
+                add(xi, yi, w * ux * uy)
+                add(yi, xi, w * ux * uy)
             lxx_ref[0, k] = _dense(He, n, n, zero)
 
             Ue = {}

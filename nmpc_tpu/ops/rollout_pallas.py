@@ -33,9 +33,11 @@ LANES = 128
 
 
 def supports(ocp: OCP) -> bool:
+    """Problem class the fused kernels cover: stacked-unicycle Euler with
+    pair / static-obstacle / box rows (moving obstacles and LiDAR rays fall
+    back to the XLA path)."""
     return (
         ocp.num_rays == 0
-        and ocp.n_obs == 0
         and ocp.n_mov == 0
         and ocp.integrator == "euler"
     )
@@ -44,7 +46,7 @@ def supports(ocp: OCP) -> bool:
 class _P:
     """Static offsets into the SMEM parameter vector."""
 
-    def __init__(self, n, mc, n_alphas):
+    def __init__(self, n, mc, n_alphas, n_obs=0):
         self.q = 0
         self.r = self.q + n
         self.u_lo = self.r + mc
@@ -53,14 +55,21 @@ class _P:
         self.x_hi = self.x_lo + n
         self.dmin2 = self.x_hi + n
         self.dt = self.dmin2 + 1
-        self.alphas = self.dt + 1
+        self.obs = self.dt + 1           # n_obs rows of (ox, oy, keepout)
+        self.alphas = self.obs + 3 * n_obs
         self.size = self.alphas + n_alphas
 
 
 def _pack_params(ocp: OCP, alphas):
+    # obstacle rows pre-fold the radii: keepout = r_obs + r_rob + margin
+    keepout = (ocp.obstacles[:, 2] + ocp.robot_radius + ocp.obs_margin
+               ) if ocp.n_obs else jnp.zeros((0,), ocp.Qdiag.dtype)
+    obs = (jnp.concatenate([ocp.obstacles[:, :2], keepout[:, None]], axis=1).reshape(-1)
+           if ocp.n_obs else jnp.zeros((0,), ocp.Qdiag.dtype))
     return jnp.concatenate([
         ocp.Qdiag, ocp.Rdiag, ocp.u_lo, ocp.u_hi, ocp.x_lo, ocp.x_hi,
-        ocp.dmin2[None], ocp.T[None], jnp.asarray(alphas, ocp.Qdiag.dtype),
+        ocp.dmin2[None], ocp.T[None], obs,
+        jnp.asarray(alphas, ocp.Qdiag.dtype),
     ])[None, :]
 
 
@@ -110,6 +119,13 @@ def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu):
             dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
             c_row = dx * dx + dy * dy - prm[0, P.dmin2]
             pen = pen + phr(c_row, row, True)
+            row += 1
+    for i in range(nrob):     # obstacle rows: dist - keepout >= 0
+        for o in range(ocp.n_obs):
+            dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
+            dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
+            dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            pen = pen + phr(dist - prm[0, P.obs + 3 * o + 2], row, True)
             row += 1
     for i in range(mc):
         pen = pen + phr(u[i : i + 1] - prm[0, P.u_lo + i], row, False)
@@ -201,7 +217,7 @@ def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
     N, n, mc = ocp.N, ocp.nx, ocp.nu
     A = len(alphas)
     dtype = x0_l.dtype
-    P = _P(n, mc, A)
+    P = _P(n, mc, A, ocp.n_obs)
     prm = _pack_params(ocp, alphas)
     ins = (prm, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l)
 
@@ -260,7 +276,7 @@ def rollout_alpha_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, alpha_l,
     tiles = x0_l.shape[0]
     N, n, mc = ocp.N, ocp.nx, ocp.nu
     dtype = x0_l.dtype
-    P = _P(n, mc, 1)
+    P = _P(n, mc, 1, ocp.n_obs)
     prm = _pack_params(ocp, (0.0,))
     ins = (prm, x0_l, X_l, U_l, kff_l, Kfb_l, alpha_l)
 

@@ -49,3 +49,28 @@ def test_expansions_fused_matches_xla():
     np.testing.assert_allclose(np.asarray(_from_lane(lxxp, B)), np.asarray(lxx), atol=1e-3)
     np.testing.assert_allclose(np.asarray(_from_lane(luup, B)), np.asarray(luu), atol=1e-4)
     np.testing.assert_allclose(np.asarray(_from_lane(luxp, B)), np.asarray(lux), atol=1e-6)
+
+
+def test_expansions_and_solve_with_obstacles():
+    """Obstacle rows in the fused class (family H)."""
+    import functools
+
+    from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
+    from nmpc_tpu.solver.alilqr_batched import solve_batched
+    from nmpc_tpu.ops.rollout_pallas import supports
+
+    base = get("obstacle_scenario_1").make(N=10, x_goal=jnp.asarray([1.5, 1.5, 0.0]))
+    assert supports(base)
+    B = 4
+    x0s = base.x0[None] + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), (B, base.nx), base.x0.dtype
+    )
+    ob = batch_ocp(base, x0s)
+    cfg = ALILQRConfig(n_outer=8, n_inner=15, tol_con=1e-4)
+    rb = jax.jit(functools.partial(solve_batched, cfg=cfg))(ob)
+    import dataclasses
+
+    rv = jax.jit(jax.vmap(
+        lambda x0: solve(dataclasses.replace(base, x0=x0), cfg=cfg)))(x0s)
+    np.testing.assert_allclose(np.asarray(rb.cost), np.asarray(rv.cost), rtol=2e-3)
+    assert float(jnp.max(rb.viol)) < 1e-3

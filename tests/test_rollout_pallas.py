@@ -30,7 +30,7 @@ def _setup(B=128):
 
 def test_supports_gate():
     assert supports(get("two_robot_swap").make(N=5))
-    assert not supports(get("obstacle_scenario_1").make(N=5))
+    assert supports(get("obstacle_scenario_1").make(N=5))  # obstacles fused
     assert not supports(get("lidar_v4").make(N=5))
 
 
