@@ -392,6 +392,15 @@ _SCENARIOS = [
         robot_radius=0.2, obs_margin=0.05, omega_max=_PI / 4, theta_bound=2 * _PI,
         notes="slalom corridor",
     ),
+    Scenario(
+        name="decentralized_first_scenario", family="F",
+        source="AllScripts/decentralized_first_scenario.py:94-95,249-260",
+        m=1, N=200, T=0.05, x0=(0, 0, 0), waypoints=_TOUR_WAYPOINTS,
+        robot_radius=0.15,
+        notes="single-robot waypoint tour, longest reference horizon (N=200); "
+              "the script's LiDAR use is passive min-distance monitoring "
+              "(its gradient-correction code is commented out :67-80)",
+    ),
     # ----- family I: LiDAR-augmented NMPC -----
     Scenario(
         name="lidar_v4", family="I",
