@@ -36,15 +36,23 @@ def cmd_run(args) -> int:
     sc = get(args.scenario)
     ocp = sc.make()
     solver_cfg = ALILQRConfig(n_outer=12, n_inner=20, tol_con=1e-4)
+    solve_fn = None
+    if sc.Nc is not None and sc.num_rays == 0:
+        # scenario prescribes a control horizon: use the condensed GN engine
+        from nmpc_tpu.solver import gn
+
+        gcfg = gn.GNConfig(Nc=sc.Nc, n_gn=20, n_outer=8)
+        solve_fn = lambda o, w: gn.solve(o, w, gcfg)
     t0 = time.time()
     if sc.waypoints:
         mpc = MPCConfig(max_steps=args.steps, advance_tol=sc.advance_tol, escape=True)
         run = jax.jit(functools.partial(
             closed_loop_waypoints, waypoints=sc.waypoint_array,
-            solver_cfg=solver_cfg, mpc=mpc))
+            solver_cfg=solver_cfg, mpc=mpc, solve_fn=solve_fn))
     else:
         mpc = MPCConfig(max_steps=args.steps, stop_tol=sc.stop_tol, escape=True)
-        run = jax.jit(functools.partial(closed_loop, solver_cfg=solver_cfg, mpc=mpc))
+        run = jax.jit(functools.partial(closed_loop, solver_cfg=solver_cfg, mpc=mpc,
+                                        solve_fn=solve_fn))
     r = run(ocp)
     r.X_hist.block_until_ready()
     wall = time.time() - t0
