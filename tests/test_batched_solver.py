@@ -42,3 +42,23 @@ def test_batch_padding_to_lane_tile():
     r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
     assert r.U.shape == (3, 10, 2)
     assert float(jnp.max(r.viol)) < 1e-3
+
+
+def test_batched_fallback_path_moving_obstacles():
+    """Problems outside the fused class (moving obstacles) use the XLA
+    line-search fallback inside solve_batched."""
+    from nmpc_tpu.ops.rollout_pallas import supports
+    from nmpc_tpu.parallel.decentralized import robot_template
+
+    tpl = robot_template(8, 0.1, 0.3, 3)  # n_mov = 2 slots
+    assert not supports(tpl)
+    B = 3
+    x0s = jnp.asarray([[-0.5, 0, 0], [-0.4, 0.2, 0], [-0.6, -0.2, 0]], jnp.float32)
+    goals = jnp.tile(jnp.asarray([[0.6, 0.0, 0.0]], jnp.float32), (B, 1))
+    ob = batch_ocp(
+        dataclasses.replace(tpl, mov_obs=jnp.full((8, 2, 2), 5.0, jnp.float32)),
+        x0s, jnp.tile(goals[:, None, :], (1, 8, 1)),
+    )
+    r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
+    assert r.U.shape == (B, 8, 2)
+    assert float(jnp.max(r.viol)) < 1e-3

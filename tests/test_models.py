@@ -68,3 +68,13 @@ def test_analytic_jacobians_match_ad(m):
     B_ad = jax.jacfwd(lambda uu: discrete_dynamics(x, uu, dt, "euler"))(u)
     np.testing.assert_allclose(A, A_ad, atol=1e-6)
     np.testing.assert_allclose(B, B_ad, atol=1e-6)
+
+
+def test_se2_roundtrip():
+    from nmpc_tpu.sim.frames import se2_global_to_local, se2_local_to_global
+
+    origin = jnp.array([1.0, -2.0, 0.7])
+    pose = jnp.array([0.3, 0.5, 1.2])
+    glob = se2_local_to_global(pose, origin)
+    back = se2_global_to_local(glob, origin)
+    np.testing.assert_allclose(back, pose, atol=1e-6)
