@@ -41,8 +41,8 @@ def _dense(entries, rows, cols, zero):
     return jnp.stack(out_rows, axis=0)
 
 
-def _make_expansion_kernel(ocp: OCP, P):
-    N, n, mc, nrob = ocp.N, ocp.nx, ocp.nu, ocp.m
+def _make_expansion_kernel(ocp: OCP, P, n_stages, stage_offset=0):
+    N, n, mc, nrob = n_stages, ocp.nx, ocp.nu, ocp.m
     pairs = list(zip(*pair_indices(nrob))) if ocp.n_pairs else []
 
     def kernel(prm, X_ref, U_ref, xref_ref, lam_ref, mu_ref,
@@ -87,7 +87,7 @@ def _make_expansion_kernel(ocp: OCP, P):
                 dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
                 c_row = dx * dx + dy * dy - prm[0, P.dmin2]
                 act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
-                act = jnp.where(k == 0, 0.0, act)   # stage-0 state rows masked
+                act = jnp.where(k + stage_offset == 0, 0.0, act)  # global stage-0 state rows masked
                 w = mu * (act > 0.0).astype(act.dtype)
                 gx, gy = 2.0 * dx, 2.0 * dy
                 lx_rows[3 * i] = lx_rows[3 * i] - gx * act
@@ -106,7 +106,7 @@ def _make_expansion_kernel(ocp: OCP, P):
                     dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
                     c_row = dist - prm[0, P.obs + 3 * o + 2]
                     act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
-                    act = jnp.where(k == 0, 0.0, act)
+                    act = jnp.where(k + stage_offset == 0, 0.0, act)
                     w = mu * (act > 0.0).astype(act.dtype)
                     ux, uy = dx / dist, dy / dist
                     lx_rows[3 * i] = lx_rows[3 * i] - ux * act
@@ -131,8 +131,8 @@ def _make_expansion_kernel(ocp: OCP, P):
                                    - mu * (x[i : i + 1] - prm[0, P.x_lo + i]))
                 a_hi = jnp.maximum(0.0, lam_k[row + n + i : row + n + i + 1]
                                    - mu * (prm[0, P.x_hi + i] - x[i : i + 1]))
-                a_lo = jnp.where(k == 0, 0.0, a_lo)
-                a_hi = jnp.where(k == 0, 0.0, a_hi)
+                a_lo = jnp.where(k + stage_offset == 0, 0.0, a_lo)
+                a_hi = jnp.where(k + stage_offset == 0, 0.0, a_hi)
                 lx_rows[i] = lx_rows[i] - a_lo + a_hi
                 dx_diag.append(mu * ((a_lo > 0.0).astype(mu.dtype)
                                      + (a_hi > 0.0).astype(mu.dtype)))
@@ -191,32 +191,49 @@ def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, interpret=None):
         interpret = jax.default_backend() == "cpu"
     tiles, N, n, L = X_l.shape
     mc = ocp.nu
+    nc = ocp.n_con
     dtype = X_l.dtype
-    P = _P(n, mc, 1)
+    P = _P(n, mc, 1, ocp.n_obs)
     prm = _pack_params(ocp, (0.0,))
 
-    def vs(*dims):
+    # Stages are independent — chunk the horizon so each call's
+    # (double-buffered) VMEM working set stays bounded; the seven outputs
+    # dominate: ~ (2n^2 + 2 n mc + mc^2 + n + mc) * 512 B per stage per tile.
+    stage_bytes = (2 * n * n + 2 * n * mc + mc * mc + 3 * n + 2 * mc + nc) * LANES * 4
+    chunk = max(1, min(N, (3 * 1024 * 1024) // stage_bytes))
+
+    def vs(nstg, *dims):
         nd = len(dims)
-        return pl.BlockSpec((1, *dims, LANES),
-                            lambda i, nd=nd: (i,) + (0,) * (nd + 1),
+        return pl.BlockSpec((1, nstg, *dims, LANES),
+                            lambda i, nd=nd: (i,) + (0,) * (nd + 2),
                             memory_space=pltpu.VMEM)
 
     sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    return pl.pallas_call(
-        _make_expansion_kernel(ocp, P),
-        grid=(tiles,),
-        in_specs=[sm, vs(N, n), vs(N, mc), vs(N, n), vs(N, ocp.n_con),
-                  pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=(vs(N, n, n), vs(N, n, mc), vs(N, n, 1), vs(N, mc, 1),
-                   vs(N, n, n), vs(N, mc, mc), vs(N, mc, n)),
-        out_shape=(
-            jax.ShapeDtypeStruct((tiles, N, n, n, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, n, mc, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, n, 1, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, mc, 1, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, n, n, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, mc, mc, LANES), dtype),
-            jax.ShapeDtypeStruct((tiles, N, mc, n, LANES), dtype),
-        ),
-        interpret=interpret,
-    )(prm, X_l, U_l, xref_l, lam_l, mu_l)
+    parts = []
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        nstg = e - s
+        outs = pl.pallas_call(
+            _make_expansion_kernel(ocp, P, nstg, stage_offset=s),
+            grid=(tiles,),
+            in_specs=[sm, vs(nstg, n), vs(nstg, mc), vs(nstg, n), vs(nstg, nc),
+                      pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(vs(nstg, n, n), vs(nstg, n, mc), vs(nstg, n, 1),
+                       vs(nstg, mc, 1), vs(nstg, n, n), vs(nstg, mc, mc),
+                       vs(nstg, mc, n)),
+            out_shape=(
+                jax.ShapeDtypeStruct((tiles, nstg, n, n, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, n, mc, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, n, 1, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, mc, 1, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, n, n, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, mc, mc, LANES), dtype),
+                jax.ShapeDtypeStruct((tiles, nstg, mc, n, LANES), dtype),
+            ),
+            interpret=interpret,
+        )(prm, X_l[:, s:e], U_l[:, s:e], xref_l[:, s:e], lam_l[:, s:e], mu_l)
+        parts.append(outs)
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[i] for p in parts], axis=1) for i in range(7))

@@ -50,10 +50,11 @@ def main():
         # from a proper steady state (a weak cold solve would poison the
         # multipliers and never recover)
         f_full = jax.jit(functools.partial(solve, cfg=CFG))
-        res = f_full(ocp)
-        res.U.block_until_ready()
-        res = f(ocp)
-        res.U.block_until_ready()  # compile the measured config
+        res_full = f_full(ocp)
+        res_full.U.block_until_ready()
+        _ = f(ocp)
+        _.U.block_until_ready()    # compile the measured config
+        res = res_full             # warm-start from the CONVERGED solution
         warm = WarmStart(
             U=jnp.concatenate([res.U[1:], res.U[-1:]], 0),
             lam=jnp.concatenate([res.lam[1:], res.lam[-1:]], 0),
