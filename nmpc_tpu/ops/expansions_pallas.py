@@ -200,7 +200,7 @@ def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, interpret=None):
     # (double-buffered) VMEM working set stays bounded; the seven outputs
     # dominate: ~ (2n^2 + 2 n mc + mc^2 + n + mc) * 512 B per stage per tile.
     stage_bytes = (2 * n * n + 2 * n * mc + mc * mc + 3 * n + 2 * mc + nc) * LANES * 4
-    chunk = max(1, min(N, (3 * 1024 * 1024) // stage_bytes))
+    chunk = max(1, min(N, (2 * 1024 * 1024) // stage_bytes))
 
     def vs(nstg, *dims):
         nd = len(dims)

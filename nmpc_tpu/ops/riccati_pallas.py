@@ -171,7 +171,7 @@ def riccati_lanes(ins_full, N, n, m, reg=1e-6, interpret=None):
     # Chunk the horizon so each pallas_call's (double-buffered) VMEM working
     # set stays well under the 16 MB budget.
     stage_bytes = (2 * n * n + 2 * n * m + m * m + 2 * n + 3 * m) * LANES * 4
-    chunk = max(1, min(N, (5 * 1024 * 1024) // stage_bytes))
+    chunk = max(1, min(N, (4 * 1024 * 1024) // stage_bytes))
 
     Vx_c = jnp.zeros((tiles, 1, n, 1, LANES), dtype)
     Vxx_c = jnp.zeros((tiles, 1, n, n, LANES), dtype)
