@@ -23,7 +23,7 @@ def main():
     from nmpc_tpu.solver.alilqr import ALILQRConfig
     from nmpc_tpu.solver.alilqr_batched import solve_batched
 
-    B = 16384
+    B = 32768
     base = get("six_robot_antipodal").make(N=10)
     cfg = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-3)
 
