@@ -23,5 +23,14 @@ Layer map (mirrors SURVEY.md §1/§7):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The TPU default matmul precision is bfloat16; a Riccati recursion iterated
+# through bf16 products diverges (verified: the six-robot closed loop
+# explodes on-device while bit-identical code is fine on CPU). The numerical
+# engine requires true f32 contractions; the hot batched path is unaffected
+# (its Pallas kernels compute exact f32 on the VPU).
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from nmpc_tpu.ocp.problem import OCP, default_weights  # noqa: F401
 from nmpc_tpu.solver.alilqr import ALILQRConfig, SolveResult, solve  # noqa: F401
