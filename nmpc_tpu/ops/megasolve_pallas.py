@@ -1,0 +1,326 @@
+"""Pallas TPU megakernel: the whole iLQR inner solve in one program.
+
+The lane-major pipeline (expansions -> Riccati -> line search -> rollout)
+still pays 4 kernel launches + HBM round-trips of the stage expansions per
+iteration, and the engine remains latency-bound to B~32k. This kernel folds
+the complete inner loop — n_inner iterations of: on-the-fly stage expansions
+(recomputed, never materialized to HBM), backward Riccati sweep, all-alpha
+line search with per-lane Armijo selection, and the accepted-alpha rollout —
+into a single Pallas program per batch tile. Only the AL multiplier update
+between outer steps stays outside (cheap elementwise XLA).
+
+State lives in VMEM scratch for the whole solve: X stages, U, gains, value
+function. VMEM ~ N*(n + m + nc + m*n)*512 B per tile (~2 MB at the bench
+shape, ~8 MB at the six-robot N=35 shape).
+
+Same problem class as the other fused kernels (pairs + obstacles + boxes,
+Euler unicycle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nmpc_tpu.ocp.problem import OCP, pair_indices
+from nmpc_tpu.ops.rollout_pallas import (
+    _P,
+    _euler_rows,
+    _feedback_u,
+    _pack_params,
+    _stage_merit,
+    supports,  # noqa: F401
+)
+from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mm, _mtm
+
+LANES = 128
+
+
+def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
+    """Stage expansion in registers (same math as expansions_pallas, but
+    returning dense [.,.,T] register tensors instead of writing refs)."""
+    n, mc, nrob = ocp.nx, ocp.nu, ocp.m
+    zero = jnp.zeros_like(mu)
+    one = jnp.ones_like(mu)
+    dt = prm[0, P.dt]
+
+    def dense(entries, rows, cols):
+        out = []
+        for a in range(rows):
+            out.append(jnp.concatenate(
+                [entries.get((a, b), zero) for b in range(cols)], axis=0))
+        return jnp.stack(out, axis=0)
+
+    Ae, Be = {}, {}
+    for r in range(nrob):
+        th = x[3 * r + 2 : 3 * r + 3]
+        v = u[2 * r : 2 * r + 1]
+        c, s = jnp.cos(th), jnp.sin(th)
+        Ae[(3 * r, 3 * r)] = one
+        Ae[(3 * r + 1, 3 * r + 1)] = one
+        Ae[(3 * r + 2, 3 * r + 2)] = one
+        Ae[(3 * r, 3 * r + 2)] = -dt * v * s
+        Ae[(3 * r + 1, 3 * r + 2)] = dt * v * c
+        Be[(3 * r, 2 * r)] = dt * c
+        Be[(3 * r + 1, 2 * r)] = dt * s
+        Be[(3 * r + 2, 2 * r + 1)] = dt * one
+    A = dense(Ae, n, n)
+    B = dense(Be, n, mc)
+
+    lx_rows = [2.0 * prm[0, P.q + i] * (x[i : i + 1] - xr[i : i + 1]) for i in range(n)]
+    lu_rows = [2.0 * prm[0, P.r + i] * u[i : i + 1] for i in range(mc)]
+
+    row = 0
+    pair_data = []
+    if ocp.n_pairs:
+        for (i, j) in zip(*pair_indices(nrob)):
+            dx = x[3 * i : 3 * i + 1] - x[3 * j : 3 * j + 1]
+            dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
+            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
+            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+            act = jnp.where(k == 0, 0.0, act)
+            w = mu * (act > 0.0).astype(act.dtype)
+            gx, gy = 2.0 * dx, 2.0 * dy
+            lx_rows[3 * i] = lx_rows[3 * i] - gx * act
+            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gy * act
+            lx_rows[3 * j] = lx_rows[3 * j] + gx * act
+            lx_rows[3 * j + 1] = lx_rows[3 * j + 1] + gy * act
+            pair_data.append((i, j, gx, gy, w))
+            row += 1
+    obs_data = []
+    for i in range(nrob):
+        for o in range(ocp.n_obs):
+            dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
+            dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
+            dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            c_row = dist - prm[0, P.obs + 3 * o + 2]
+            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+            act = jnp.where(k == 0, 0.0, act)
+            w = mu * (act > 0.0).astype(act.dtype)
+            ux, uy = dx / dist, dy / dist
+            lx_rows[3 * i] = lx_rows[3 * i] - ux * act
+            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uy * act
+            obs_data.append((i, ux, uy, w))
+            row += 1
+
+    du_diag = []
+    for i in range(mc):
+        a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
+                           - mu * (u[i : i + 1] - prm[0, P.u_lo + i]))
+        a_hi = jnp.maximum(0.0, lam_k[row + mc + i : row + mc + i + 1]
+                           - mu * (prm[0, P.u_hi + i] - u[i : i + 1]))
+        lu_rows[i] = lu_rows[i] - a_lo + a_hi
+        du_diag.append(mu * ((a_lo > 0.0).astype(mu.dtype)
+                             + (a_hi > 0.0).astype(mu.dtype)))
+    row += 2 * mc
+
+    dx_diag = []
+    for i in range(n):
+        a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
+                           - mu * (x[i : i + 1] - prm[0, P.x_lo + i]))
+        a_hi = jnp.maximum(0.0, lam_k[row + n + i : row + n + i + 1]
+                           - mu * (prm[0, P.x_hi + i] - x[i : i + 1]))
+        a_lo = jnp.where(k == 0, 0.0, a_lo)
+        a_hi = jnp.where(k == 0, 0.0, a_hi)
+        lx_rows[i] = lx_rows[i] - a_lo + a_hi
+        dx_diag.append(mu * ((a_lo > 0.0).astype(mu.dtype)
+                             + (a_hi > 0.0).astype(mu.dtype)))
+
+    lx = jnp.stack(lx_rows, axis=0)      # [n, 1, T]
+    lu = jnp.stack(lu_rows, axis=0)      # [mc, 1, T]
+
+    He = {}
+    for i in range(n):
+        He[(i, i)] = 2.0 * prm[0, P.q + i] * one + dx_diag[i]
+
+    def add(a, b, v):
+        He[(a, b)] = He.get((a, b), zero) + v
+
+    for (i, j, gx, gy, w) in pair_data:
+        xi, yi, xj, yj = 3 * i, 3 * i + 1, 3 * j, 3 * j + 1
+        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy
+        add(xi, xi, wxx); add(yi, yi, wyy)
+        add(xj, xj, wxx); add(yj, yj, wyy)
+        add(xi, yi, wxy); add(yi, xi, wxy)
+        add(xj, yj, wxy); add(yj, xj, wxy)
+        add(xi, xj, -wxx); add(xj, xi, -wxx)
+        add(yi, yj, -wyy); add(yj, yi, -wyy)
+        add(xi, yj, -wxy); add(yj, xi, -wxy)
+        add(yi, xj, -wxy); add(xj, yi, -wxy)
+    for (i, ux, uy, w) in obs_data:
+        xi, yi = 3 * i, 3 * i + 1
+        add(xi, xi, w * ux * ux)
+        add(yi, yi, w * uy * uy)
+        add(xi, yi, w * ux * uy)
+        add(yi, xi, w * ux * uy)
+    lxx = dense(He, n, n)
+
+    Ue = {}
+    for i in range(mc):
+        Ue[(i, i)] = 2.0 * prm[0, P.r + i] * one + du_diag[i]
+    luu = dense(Ue, mc, mc)
+    return A, B, lx, lu, lxx, luu
+
+
+def _make_megakernel(ocp: OCP, P, cfg):
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    reg = cfg.reg
+    alphas = tuple(cfg.alphas)
+
+    def kernel(prm, x0_ref, xref_ref, lam_ref, mu_ref, Uin_ref,
+               Uout_ref, Xout_ref, cost_ref, iters_ref,
+               X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s):
+        mu = mu_ref[0]                     # [1, T]
+        x0 = x0_ref[0, 0]                  # [n, T]
+        iters_ref[0] = jnp.zeros_like(mu)
+
+        # ---- initial rollout of warm controls + merit ----
+        def init_roll(k, carry):
+            x, cost = carry
+            u = Uin_ref[0, k]
+            U_s[k] = u
+            X_s[k] = x
+            cost = cost + _stage_merit(ocp, P, prm, k, x, u,
+                                       xref_ref[0, k], lam_ref[0, k], mu)
+            return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
+
+        _, cost0 = jax.lax.fori_loop(0, N, init_roll,
+                                     (x0, jnp.zeros_like(mu)))
+
+        def inner(it, carry):
+            cost_cur, done = carry         # [1,T], [1,T] (1.0 = done)
+
+            # ---- backward sweep with on-the-fly expansions ----
+            Vx_s[...] = jnp.zeros_like(Vx_s)
+            Vxx_s[...] = jnp.zeros_like(Vxx_s)
+
+            def bwd(t, dV1):
+                k = N - 1 - t
+                A, B, lx, lu, lxx, luu = _expansion_regs(
+                    ocp, P, prm, k, X_s[k], U_s[k], xref_ref[0, k],
+                    lam_ref[0, k], mu)
+                Vx = Vx_s[...]
+                Vxx = Vxx_s[...]
+                VA = _mm(Vxx, A)
+                Qx = lx + _mtm(A, Vx)
+                Qu = lu + _mtm(B, Vx)
+                Qxx = lxx + _mtm(A, VA)
+                Qux = _mtm(B, VA)          # lux = 0 for this class
+                Quu = luu + _mtm(B, _mm(Vxx, B))
+                L = _chol(Quu, reg)
+                sol = _chol_solve(L, jnp.concatenate([Qu, Qux], axis=1))
+                kff = -sol[:, :1]
+                Kfb = -sol[:, 1:]
+                kff_s[k] = kff
+                Kfb_s[k] = Kfb
+                Vx_s[...] = Qx + _mtm(Qux, kff)
+                Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
+                return dV1 + jnp.sum(kff * Qu, axis=0)  # [1, T]
+
+            dV1 = jax.lax.fori_loop(0, N, bwd, jnp.zeros_like(mu))
+
+            # ---- line search: evaluate each alpha, keep per-lane best ----
+            def cost_of(alpha):
+                def roll(k, carry):
+                    x, cost = carry
+                    u = _feedback_u(n, x, X_s[k], U_s[k], kff_s[k],
+                                    Kfb_s[k], alpha)
+                    cost = cost + _stage_merit(ocp, P, prm, k, x, u,
+                                               xref_ref[0, k], lam_ref[0, k], mu)
+                    return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
+
+                _, c = jax.lax.fori_loop(0, N, roll, (x0, jnp.zeros_like(mu)))
+                return c
+
+            best_cost = cost_cur
+            best_alpha = jnp.zeros_like(mu)
+            for ai, a in enumerate(alphas):
+                ca = cost_of(a)
+                expected = cfg.armijo * a * jnp.maximum(-dV1, 0.0)
+                ok = ((cost_cur - ca) >= expected) & (ca < best_cost)
+                best_cost = jnp.where(ok, ca, best_cost)
+                best_alpha = jnp.where(ok, a, best_alpha)
+
+            improved = best_alpha > 0.0
+            alpha_l = jnp.where(done > 0.5, 0.0, best_alpha)
+
+            # ---- accepted rollout (alpha = 0 reproduces the nominal) ----
+            def accept(k, x):
+                u = _feedback_u(n, x, X_s[k], U_s[k], kff_s[k],
+                                Kfb_s[k], alpha_l)
+                X_s[k] = x
+                U_s[k] = u
+                return _euler_rows(ocp.m, x, u, prm[0, P.dt])
+
+            jax.lax.fori_loop(0, N, accept, x0)
+
+            cost_new = jnp.where(done > 0.5, cost_cur,
+                                 jnp.where(improved, best_cost, cost_cur))
+            rel = (cost_cur - cost_new) / (1.0 + jnp.abs(cost_cur))
+            done = jnp.maximum(done, jnp.where(
+                (~improved) | (rel < cfg.tol_cost), 1.0, 0.0))
+            iters_ref[0] += jnp.where(done > 0.5, 0.0, 1.0)
+            return (cost_new, done)
+
+        cost_f, _ = jax.lax.fori_loop(
+            0, cfg.n_inner, inner, (cost0, jnp.zeros_like(mu)))
+
+        def writeout(k, _):
+            Uout_ref[0, k] = U_s[k]
+            Xout_ref[0, k] = X_s[k]
+            return 0
+
+        jax.lax.fori_loop(0, N, writeout, 0)
+        cost_ref[0] = cost_f
+
+    return kernel
+
+
+def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
+                      interpret=None):
+    """One fused inner iLQR solve (n_inner iterations) per batch tile.
+
+    x0_l [t,1,n,L], xref_l [t,N,n,L], lam_l [t,N,nc,L], mu_l [t,1,L],
+    U_l [t,N,m,L] -> (Xs_l [t,N,n,L] stage states, U_l [t,N,m,L],
+    cost [t,1,L], iters [t,1,L])."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiles = x0_l.shape[0]
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    dtype = x0_l.dtype
+    P = _P(n, mc, 1, ocp.n_obs)
+    prm = _pack_params(ocp, (0.0,))
+
+    def vs(nstg, *dims):
+        nd = len(dims)
+        return pl.BlockSpec((1, nstg, *dims, LANES),
+                            lambda i, nd=nd: (i,) + (0,) * (nd + 2),
+                            memory_space=pltpu.VMEM)
+
+    lane = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    U_out, Xs_l, cost, iters = pl.pallas_call(
+        _make_megakernel(ocp, P, cfg),
+        grid=(tiles,),
+        in_specs=[sm, vs(1, n), vs(N, n), vs(N, ocp.n_con), lane, vs(N, mc)],
+        out_specs=(vs(N, mc), vs(N, n), lane, lane),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, N, mc, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, N, n, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, n, LANES), dtype),        # X stages
+            pltpu.VMEM((N, mc, LANES), dtype),       # U
+            pltpu.VMEM((N, mc, 1, LANES), dtype),    # kff
+            pltpu.VMEM((N, mc, n, LANES), dtype),    # Kfb
+            pltpu.VMEM((n, 1, LANES), dtype),        # Vx
+            pltpu.VMEM((n, n, LANES), dtype),        # Vxx
+        ],
+        interpret=interpret,
+    )(prm, x0_l, xref_l, lam_l, mu_l, U_l)
+    return Xs_l, U_out, cost, iters

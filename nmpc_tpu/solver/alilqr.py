@@ -56,6 +56,8 @@ class ALILQRConfig:
     tol_con: float = 1e-4     # max constraint violation stop (outer)
     lam_max: float = 1e6      # multiplier clip
     armijo: float = 1e-4      # accept fraction of expected decrease
+    mega: bool = True         # batched path: fuse the whole inner solve into
+                              # one Pallas program (ops/megasolve_pallas.py)
 
 
 @partial(

@@ -32,6 +32,7 @@ from nmpc_tpu.solver.alilqr import (
 from nmpc_tpu.ops.riccati_pallas import LANES, _from_lane, _to_lane, riccati_fused, riccati_lanes
 from nmpc_tpu.ops import rollout_pallas
 from nmpc_tpu.ops.expansions_pallas import expansions_fused
+from nmpc_tpu.ops.megasolve_pallas import inner_solve_fused
 
 _BATCH_FIELDS = ("x0", "xref")
 
@@ -200,6 +201,75 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
     )
 
 
+def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> SolveResult:
+    """Megakernel path: the whole inner iLQR solve is ONE Pallas program per
+    AL outer step (ops/megasolve_pallas.py) — expansions are recomputed
+    on-the-fly in VMEM and never touch HBM. Bit-identical to the staged lane
+    pipeline (verified)."""
+    N, n, mc = ocp_b.N, ocp_b.nx, ocp_b.nu
+    dtype = ocp_b.x0.dtype
+    tiles = Bt // LANES
+
+    x0_l = _to_lane(ocp_b.x0[:, None], tiles)
+    xref_l = _to_lane(ocp_b.xref, tiles)
+    U_l = _to_lane(U, tiles)
+    Xs_l = jnp.zeros((tiles, N, n, LANES), dtype)
+
+    def constraints_std(Xs_l, U_l):
+        Xs = _from_lane(Xs_l, Bt)
+        U = _from_lane(U_l, Bt)
+        X_full = jnp.concatenate([Xs, Xs[:, -1:]], axis=1)
+        return Xs, U, _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u),
+                          ocp_b, X_full, U)
+
+    def outer_cond(c):
+        _, _, _, _, it, _, done = c
+        return (it < cfg.n_outer) & (~jnp.all(done))
+
+    def outer_body(c):
+        Xs_l, U_l, lam, mu, it, inner_tot, done = c
+        lam_l = _to_lane(lam, tiles)
+        mu_l = _to_lane(mu[:, None], tiles)
+        Xs_l, U_l, _, iters_l = inner_solve_fused(
+            ocp_b, x0_l, xref_l, lam_l, mu_l, U_l, cfg
+        )
+        iters = jnp.max(_from_lane(iters_l[:, None], Bt)[:, 0, 0]).astype(jnp.int32)
+        _, _, cmask = constraints_std(Xs_l, U_l)
+        viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+        lam_new = jnp.clip(
+            jnp.maximum(0.0, lam - mu[:, None, None] * cmask), 0.0, cfg.lam_max
+        )
+        newly = viol < cfg.tol_con
+        lam = jnp.where(done[:, None, None], lam, lam_new)
+        mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
+        done = done | newly
+        return (Xs_l, U_l, lam, mu, it + 1, inner_tot + iters, done)
+
+    zero = jnp.zeros((), jnp.int32)
+    Xs_l, U_l, lam, mu, outer, inner_tot, done = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (Xs_l, U_l, lam, mu, zero, zero, jnp.zeros((Bt,), bool)),
+    )
+
+    Xs, U, cmask = constraints_std(Xs_l, U_l)
+    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+    # terminal state for the full trajectory output
+    xN = jax.vmap(lambda o, x, u: P.step_dynamics(o, x, u),
+                  in_axes=(None, 0, 0))(
+        dataclasses.replace(ocp_b, x0=ocp_b.x0[0], xref=ocp_b.xref[0]),
+        Xs[:, -1], U[:, -1])
+    X = jnp.concatenate([Xs, xN[:, None]], axis=1)
+    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    trim = lambda a: a[:B]
+    return SolveResult(
+        X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
+        cost=trim(cost), viol=trim(viol),
+        inner_iters=jnp.broadcast_to(inner_tot, (B,)),
+        outer_iters=jnp.broadcast_to(outer, (B,)),
+        converged=trim(done),
+    )
+
+
 def solve_batched(
     ocp_b: OCP,
     warm: WarmStart | None = None,
@@ -226,7 +296,9 @@ def solve_batched(
     U, lam, mu = warm.U, warm.lam, warm.mu
     use_pallas_ls = rollout_pallas.supports(ocp_b)
     if use_pallas_ls:
-        # fully lane-major fused path
+        if cfg.mega:
+            return _solve_mega(ocp_b, U, lam, mu, cfg, B, Bt)
+        # staged lane-major fused path (kept for comparison/debug)
         return _solve_lanes(ocp_b, U, lam, mu, cfg, B, Bt)
     X = _rollout_b(ocp_b, U)
     alphas = jnp.asarray(cfg.alphas, dtype)
