@@ -37,12 +37,24 @@ def cmd_run(args) -> int:
     ocp = sc.make()
     solver_cfg = ALILQRConfig(n_outer=12, n_inner=20, tol_con=1e-4)
     solve_fn = None
-    if sc.Nc is not None and sc.num_rays == 0:
-        # scenario prescribes a control horizon: use the condensed GN engine
+    engine = args.engine
+    if engine == "auto":
+        if sc.Nc is not None and sc.num_rays == 0:
+            engine = "gn"     # scenario prescribes a control horizon
+        else:
+            from nmpc_tpu.ops.rollout_pallas import supports
+
+            engine = "fused" if supports(ocp) else "ilqr"
+    if engine == "gn":
         from nmpc_tpu.solver import gn
 
-        gcfg = gn.GNConfig(Nc=sc.Nc, n_gn=20, n_outer=8)
+        gcfg = gn.GNConfig(Nc=sc.Nc or ocp.N, n_gn=20, n_outer=8)
         solve_fn = lambda o, w: gn.solve(o, w, gcfg)
+    elif engine == "fused":
+        # batch-native megakernel at B=1: the low-latency per-step engine
+        from nmpc_tpu.solver.alilqr_batched import solve_one
+
+        solve_fn = lambda o, w: solve_one(o, w, solver_cfg)
     t0 = time.time()
     if sc.waypoints:
         mpc = MPCConfig(max_steps=args.steps, advance_tol=sc.advance_tol, escape=True)
@@ -81,6 +93,11 @@ def main(argv=None) -> int:
     runp.add_argument("scenario")
     runp.add_argument("--steps", type=int, default=400)
     runp.add_argument("--save", default=None)
+    runp.add_argument("--engine", choices=("auto", "ilqr", "fused", "gn"),
+                      default="auto",
+                      help="NLP engine: per-scenario AL-iLQR, batch-native "
+                           "fused megakernel at B=1 (lowest warm latency), or "
+                           "condensed Gauss-Newton with move blocking")
     sub.add_parser("bench")
     args = p.parse_args(argv)
     if args.cmd == "list":

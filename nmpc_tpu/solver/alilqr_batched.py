@@ -270,6 +270,25 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     )
 
 
+def solve_one(
+    ocp: OCP,
+    warm: WarmStart | None = None,
+    cfg: ALILQRConfig = ALILQRConfig(),
+) -> SolveResult:
+    """Single-scenario solve routed through the batch-native fused path.
+
+    B=1 pads to one 128-lane tile (127 lanes idle) but the whole inner iLQR
+    solve runs as one Pallas program per AL outer step, so warm latency is
+    bounded by a handful of kernel launches instead of O(N) sequential XLA
+    ops — the low-latency engine for the closed-loop MPC drivers
+    (SURVEY.md §6's per-step budget T). Interface matches solver.alilqr.solve
+    (unbatched OCP/WarmStart in, unbatched SolveResult out)."""
+    ocp_b = dataclasses.replace(ocp, x0=ocp.x0[None], xref=ocp.xref[None])
+    warm_b = None if warm is None else jax.tree.map(lambda a: jnp.asarray(a)[None], warm)
+    res = solve_batched(ocp_b, warm_b, cfg)
+    return jax.tree.map(lambda a: a[0], res)
+
+
 def solve_batched(
     ocp_b: OCP,
     warm: WarmStart | None = None,

@@ -62,3 +62,31 @@ def test_batched_fallback_path_moving_obstacles():
     r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
     assert r.U.shape == (B, 8, 2)
     assert float(jnp.max(r.viol)) < 1e-3
+
+
+def test_solve_one_matches_per_scenario_solve():
+    """solve_one (B=1 fused megakernel path) matches the per-scenario engine
+    on the two-robot collision config — the low-latency MPC engine must be a
+    drop-in for solver.alilqr.solve."""
+    from nmpc_tpu.solver.alilqr_batched import solve_one
+
+    ocp = get("two_robot_swap").make(N=12)
+    r1 = jax.jit(functools.partial(solve_one, cfg=CFG))(ocp)
+    rv = jax.jit(functools.partial(solve, cfg=CFG))(ocp)
+    assert r1.U.shape == rv.U.shape == (12, 4)
+    np.testing.assert_allclose(np.array(r1.cost), np.array(rv.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.array(r1.U), np.array(rv.U), atol=5e-3)
+    assert bool(r1.converged)
+
+
+def test_solve_one_warm_start_roundtrip():
+    """shift_warm on a solve_one result feeds back in (driver contract)."""
+    from nmpc_tpu.mpc.driver import shift_warm
+    from nmpc_tpu.solver.alilqr_batched import solve_one
+
+    ocp = get("single_robot").make(N=10)
+    res = jax.jit(functools.partial(solve_one, cfg=CFG))(ocp)
+    warm = shift_warm(res, CFG, mu_reset=True)
+    res2 = jax.jit(functools.partial(solve_one, cfg=CFG))(ocp, warm)
+    assert res2.U.shape == (10, 2)
+    assert float(res2.viol) < 1e-3

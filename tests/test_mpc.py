@@ -172,3 +172,21 @@ def test_rk4_integrator_closed_loop():
         closed_loop, solver_cfg=FAST, mpc=mpc,
         plant=PlantConfig(integrator="rk4")))(ocp)
     assert bool(r.reached)
+
+
+@pytest.mark.slow
+def test_closed_loop_fused_engine():
+    """Driver with solve_fn = batch-native solve_one (B=1 megakernel): the
+    low-latency engine closes the two-robot swap collision-free, matching the
+    per-scenario engine's contract."""
+    from nmpc_tpu.solver.alilqr_batched import solve_one
+
+    sc = get("two_robot_swap")
+    ocp = sc.make(N=25, T=0.1)
+    mpc = MPCConfig(max_steps=250, stop_tol=1e-1, escape=True)
+    run = jax.jit(functools.partial(
+        closed_loop, solver_cfg=FAST, mpc=mpc,
+        solve_fn=lambda o, w: solve_one(o, w, FAST)))
+    r = run(ocp)
+    assert bool(r.reached)
+    assert float(jnp.min(r.min_dist_hist)) >= sc.dmin - 5e-3
