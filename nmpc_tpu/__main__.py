@@ -44,7 +44,10 @@ def cmd_run(args) -> int:
         else:
             from nmpc_tpu.ops.rollout_pallas import supports
 
-            engine = "fused" if supports(ocp) else "ilqr"
+            # fused megakernel wins at long horizons (sequential-chain bound);
+            # measured on v5e: N=200 26.5 vs 44.7 ms p50, N=100 28.6 vs 33.6,
+            # but N=35 favors the per-scenario XLA path (early-exit loops)
+            engine = "fused" if supports(ocp) and ocp.N >= 64 else "ilqr"
     if engine == "gn":
         from nmpc_tpu.solver import gn
 

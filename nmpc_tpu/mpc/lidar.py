@@ -36,14 +36,21 @@ def closed_loop_lidar(
     advance_tol: float = 0.1,
     scan_max: float = 3.5,
     plant: PlantConfig = PlantConfig(),
+    solve_fn=None,
 ):
     """Returns (X_hist [S+1, 3] poses, U_hist [S, 2], min_clearance [S],
-    goal_idx_hist [S], reached)."""
+    goal_idx_hist [S], reached).
+
+    solve_fn(ocp, warm) overrides the NLP engine. Default is the condensed
+    GN solver with cfg's Nc move blocking (v4 semantics,
+    obs_avoid_static_first_scenario_v4.py:61). For v3 semantics (full control
+    horizon, obs_avoid_static_first_scenario_v3.py) pass the AL-iLQR engine,
+    e.g. solve_fn=lambda o, w: alilqr.solve(o, w, ALILQRConfig(...))."""
     R = ocp.num_rays
     N = ocp.N
     angles = ray_angles(R, ocp.x0.dtype)
     G = waypoints.shape[0]
-    solve_fn = functools.partial(gn.solve, cfg=cfg)
+    solve_fn = solve_fn or functools.partial(gn.solve, cfg=cfg)
 
     def step(carry, _):
         pose, w, done, gidx = carry

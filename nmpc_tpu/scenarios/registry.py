@@ -403,6 +403,17 @@ _SCENARIOS = [
     ),
     # ----- family I: LiDAR-augmented NMPC -----
     Scenario(
+        name="lidar_v3", family="I",
+        source="AllScripts/obs_avoid_static_first_scenario_v3.py:55-67,109-133",
+        m=1, N=125, T=0.075, x0=(0, 0, 0),
+        waypoints=((1.0, 0.5, 0.0), (0.0, 0.0, 0.0)),
+        num_rays=10,
+        robot_radius=0.15, v_max=0.15, omega_max=1.5,
+        notes="augmented state [x,y,th,d_1..d_10]; full control horizon "
+              "(no Nc blocking), no 1/d proximity cost — the v3 semantics; "
+              "runs on the AL-iLQR engine via closed_loop_lidar(solve_fn=...)",
+    ),
+    Scenario(
         name="lidar_v4", family="I",
         source="AllScripts/obs_avoid_static_first_scenario_v4.py:59-75,123-136",
         m=1, N=100, T=0.075, x0=(0, 0, 0),

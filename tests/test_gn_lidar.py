@@ -97,3 +97,31 @@ def test_gn_closed_loop_waypoints():
         solver_cfg=gn.GNConfig(Nc=sc.Nc), mpc=mpc, solve_fn=solve_fn))(ocp)
     # reaches at least the first waypoint (2,2,0) with Dt=0.5 steps
     assert int(r.goal_idx_hist[-1]) >= 1
+
+
+def test_lidar_v3_closed_loop_ilqr_engine():
+    """v3 semantics (obs_avoid_static_first_scenario_v3.py): full control
+    horizon, no 1/d proximity cost, solved by AL-iLQR through the
+    closed_loop_lidar solve_fn override instead of the condensed GN path."""
+    from nmpc_tpu.mpc.lidar import closed_loop_lidar
+    from nmpc_tpu.solver.alilqr import ALILQRConfig, solve as ilqr_solve
+
+    sc = get("lidar_v3")
+    assert sc.Nc is None and sc.inv_dist_weight == 0.0
+    # v3 has no 1/d proximity cost, so avoidance rests on the d >= ray_lo
+    # bound alone. 10 rays at 36 deg spacing both miss small circles and
+    # strike obliquely (ray range overstates perpendicular clearance), so the
+    # bound carries a discretization margin: ray_lo = 0.25 keeps the true
+    # surface clearance above the 0.15 robot radius.
+    ocp = sc.make(N=30, ray_lo=0.25)
+    obstacles = jnp.array([[0.5, 0.25, 0.2]], jnp.float32)
+    wps = jnp.asarray(sc.waypoints[:1], jnp.float32)
+    icfg = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-3)
+    X, U, clr, gidx, done = jax.jit(functools.partial(
+        closed_loop_lidar, sim_obstacles=obstacles, waypoints=wps,
+        solve_fn=lambda o, w: ilqr_solve(o, w, icfg), max_steps=400))(ocp)
+    assert float(clr.min()) >= 0.15 - 1e-2
+    assert int(gidx[-1]) >= 1
+    U = np.array(U)
+    assert np.abs(U[:, 0]).max() <= 0.15 + 1e-3
+    assert np.abs(U[:, 1]).max() <= 1.5 + 1e-3
