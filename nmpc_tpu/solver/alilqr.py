@@ -58,6 +58,10 @@ class ALILQRConfig:
     armijo: float = 1e-4      # accept fraction of expected decrease
     mega: bool = True         # batched path: fuse the whole inner solve into
                               # one Pallas program (ops/megasolve_pallas.py)
+    sweep: str = "seq"        # backward pass: "seq" = O(N) Riccati scan,
+                              # "scan" = O(log N) associative-scan LQR
+                              # (ops/assoc_lqr.py) for long horizons (the
+                              # reference runs N up to 200, tb3_1.py:57)
 
 
 @partial(
@@ -165,6 +169,23 @@ def _backward_pass(ocp: OCP, cfg: ALILQRConfig, X, U, lam, mu):
     lx, lu, lxx, luu, lux = jax.vmap(
         lambda x, u, r, l, mk: _stage_expansion(ocp, x, u, r, l, mk, mu)
     )(X[:-1], U, ocp.xref, lam, ocp.mov_obs)
+
+    if cfg.sweep == "scan":
+        # horizon-parallel associative-scan LQR: O(log N) depth instead of an
+        # N-step sequential chain — the win is the long-horizon configs
+        # (N=100..200). Iterates are single-shooting consistent, so the LQ
+        # subproblem in delta coordinates has zero defects (c = 0).
+        from nmpc_tpu.ops.assoc_lqr import parallel_lqr_gains
+
+        reg_I = cfg.reg * jnp.eye(ocp.nu, dtype=X.dtype)
+        kff, Kfb, S, v = parallel_lqr_gains(
+            A, B, jnp.zeros_like(lx), lxx, lx, luu + reg_I, lu, lux
+        )
+        # expected-decrease linear term: dV1 = sum_k kff_k . Qu_k with
+        # Qu_k = lu_k + B_k' Vx_{k+1} and Vx = S @ 0 - v = -v (delta coords)
+        Qu = lu - jnp.einsum("knm,kn->km", B, v[1:])
+        dV1 = jnp.sum(kff * Qu)
+        return kff, Kfb, dV1, jnp.zeros((), X.dtype)
 
     nx, nu = ocp.nx, ocp.nu
     dtype = X.dtype

@@ -132,3 +132,21 @@ def test_obstacle_avoidance_solve():
     X = np.array(res.X)
     d = np.hypot(X[:-1, 0] - 0.4, X[:-1, 1] - 1.1)
     assert d.min() >= 0.15 + 0.15 + 0.05 - 1e-3
+
+
+def test_assoc_scan_sweep_matches_sequential():
+    """solve with the O(log N) associative-scan backward pass (sweep='scan')
+    matches the sequential Riccati sweep on a long-horizon config."""
+    import dataclasses as _dc
+    import functools as _ft
+
+    from nmpc_tpu.scenarios import get as _get
+
+    ocp = _get("two_robot_swap").make(N=40)
+    cfg_seq = ALILQRConfig(n_outer=8, n_inner=15, tol_con=1e-4)
+    cfg_par = _dc.replace(cfg_seq, sweep="scan")
+    r1 = jax.jit(_ft.partial(solve, cfg=cfg_seq))(ocp)
+    r2 = jax.jit(_ft.partial(solve, cfg=cfg_par))(ocp)
+    np.testing.assert_allclose(np.array(r2.cost), np.array(r1.cost), rtol=1e-3)
+    np.testing.assert_allclose(np.array(r2.U), np.array(r1.U), atol=1e-2)
+    assert bool(r2.converged)
