@@ -86,3 +86,41 @@ def test_ltv_mpc_qp_reference_structure():
     np.testing.assert_allclose(
         X[1:], (np.array(Ad) @ X[:-1].T + np.array(Bd) @ U.T).T, atol=5e-3
     )
+
+
+def test_siso_process_mpc_closed_loop():
+    """mpc_test.py capability (SURVEY.md §2.2 #9): setpoint MPC on a SISO
+    first-order-plus-gain process (odeint plant in the reference), here as the
+    ADMM LTV-QP engine in closed loop against the exactly-discretized plant."""
+    K_g, tau, Ts, N = 2.0, 1.5, 0.2, 25
+    a = float(np.exp(-Ts / tau))
+    Ad = jnp.array([[a]])
+    Bd = jnp.array([[K_g * (1.0 - a)]])
+    Qd = jnp.array([[5.0]])
+    Rd = jnp.array([[0.1]])
+    P, A, l, u, pack = build_ltv_mpc_qp(
+        Ad, Bd, Qd, Rd, Qd, N,
+        x_lo=jnp.array([-10.0]), x_hi=jnp.array([10.0]),
+        u_lo=jnp.array([-1.5]), u_hi=jnp.array([1.5]),
+    )
+    fac = qp_setup(P, A, l=l, u=u)
+    setpoint = 1.0
+    # linear term: sum_k (x_k - r)' Q (x_k - r) -> q_x = -Q r per stage
+    q = jnp.concatenate([jnp.full((N + 1,), -5.0 * setpoint), jnp.zeros(N)])
+    step = jax.jit(functools.partial(qp_solve, cfg=ADMMConfig(max_iter=1500)))
+
+    x = 0.0
+    xs, us = [x], []
+    for _ in range(40):
+        l_k, u_k = pack(jnp.array([x]))
+        z, y, iters, done, prim = step(fac, q, l_k, u_k)
+        u0 = float(z[(N + 1) * 1])
+        us.append(u0)
+        x = a * x + K_g * (1.0 - a) * u0  # exact ZOH plant
+        xs.append(x)
+    xs = np.array(xs)
+    # settles at the setpoint; steady-state input = r/K (0.5)
+    assert abs(xs[-1] - setpoint) < 5e-2
+    assert abs(us[-1] - setpoint / K_g) < 5e-2
+    # respects input box throughout
+    assert np.abs(np.array(us)).max() <= 1.5 + 1e-3
