@@ -23,7 +23,7 @@ import numpy as np
 from nmpc_tpu.parallel.batch import batch_ocp
 from nmpc_tpu.scenarios import get
 from nmpc_tpu.solver.alilqr import ALILQRConfig, WarmStart, solve
-from nmpc_tpu.solver.alilqr_batched import solve_batched
+from nmpc_tpu.solver.alilqr_batched import solve_batched, solve_one
 from nmpc_tpu.ops.rollout_pallas import supports
 from nmpc_tpu.utils import latency_stats
 
@@ -44,8 +44,9 @@ CFG_RT = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3)
 
 
 def main():
-    def measure(ocp, cfg):
-        f = jax.jit(functools.partial(solve, cfg=cfg))
+    def measure(ocp, cfg, engine=None):
+        f = jax.jit(engine if engine is not None
+                    else functools.partial(solve, cfg=cfg))
         # converge first with the FULL config so the timed warm loop starts
         # from a proper steady state (a weak cold solve would poison the
         # multipliers and never recover)
@@ -99,9 +100,18 @@ def main():
         st = measure(ocp, CFG)
         rt = measure(ocp, CFG_RT)
         budget_ms = float(ocp.T) * 1e3
-        rows.append((name, sc.m, ocp.N, budget_ms, st, rt))
+        # fused megakernel at B=1 (solve_one): wins at long horizons where
+        # the XLA path is a sequential-chain of tiny ops
+        if supports(ocp):
+            fz = measure(ocp, CFG_RT,
+                         engine=functools.partial(solve_one, cfg=CFG_RT))
+        else:
+            fz = None
+        rows.append((name, sc.m, ocp.N, budget_ms, st, rt, fz))
+        fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
         print(f"{name}: full p50 {st['p50_ms']:.2f} ms | rt-mode p50 {rt['p50_ms']:.2f} ms "
-              f"viol {rt['viol']:.1e} (budget {budget_ms:.0f} ms)", flush=True)
+              f"| fused rt p50 {fz_s} ms | viol {rt['viol']:.1e} (budget {budget_ms:.0f} ms)",
+              flush=True)
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/LATENCY.md", "w") as f:
@@ -118,14 +128,18 @@ def main():
             "'full' = the bench solver config; 'rt' = the steady-state MPC\n"
             "config (2 outer x 5 inner, warm-started; max constraint violation\n"
             "observed over the run is reported).\n\n"
-            "| scenario | m | N | budget ms | full p50 ms | rt p50 ms | rt min ms | rt max viol | rt<=budget |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "'fused rt' = the same rt config through solve_one (batch-native\n"
+            "megakernel at B=1) — the lower-latency engine at long horizons.\n\n"
+            "| scenario | m | N | budget ms | full p50 ms | rt p50 ms | rt min ms | fused rt p50 ms | rt max viol | rt<=budget |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
         )
-        for name, m, N, budget, st, rt in rows:
+        for name, m, N, budget, st, rt, fz in rows:
+            fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
+            best = min(rt["p50_ms"], fz["p50_ms"]) if fz else rt["p50_ms"]
             f.write(
                 f"| {name} | {m} | {N} | {budget:.0f} | {st['p50_ms']:.2f} | "
-                f"{rt['p50_ms']:.2f} | {rt['min_ms']:.2f} | {rt['viol']:.1e} | "
-                f"{'yes' if rt['p50_ms'] <= budget else 'no'} |\n"
+                f"{rt['p50_ms']:.2f} | {rt['min_ms']:.2f} | {fz_s} | {rt['viol']:.1e} | "
+                f"{'yes' if best <= budget else 'no'} |\n"
             )
     print("wrote docs/LATENCY.md")
 
