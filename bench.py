@@ -6,6 +6,12 @@ reference's implied rate is one IPOPT solve per control period T=0.2 s
 (5 solves/s, serial CPU). vs_baseline here is value / 1000 — the north-star
 ratio, so vs_baseline >= 1.0 means the pod-slice target is met on this chip.
 
+Timing is fully synchronous: each iteration dispatches one batch with fresh
+inputs and blocks on its result before the clock stops. (Pipelined
+dispatch-N-block-on-last timing is NOT trustworthy through this
+environment's remote-TPU tunnel — block_until_ready on a queued computation
+can return early, which inflated earlier measurements ~18x; see STATUS.md.)
+
 Prints exactly one JSON line.
 """
 
@@ -30,33 +36,35 @@ def main():
     key = jax.random.PRNGKey(0)
     # randomized scenario batch: jittered starts around the unit circle
     noise = 0.1 * jax.random.normal(key, (B, base.nx), base.x0.dtype)
-    x0s = base.x0[None] + noise
-    ob = batch_ocp(base, x0s)
+    ob = batch_ocp(base, base.x0[None] + noise)
 
-    # batch-native solver: the Riccati backward sweep and line-search rollouts
-    # are fused Pallas kernels; fall back to the vmapped engine if the Pallas
-    # path fails to compile in this environment
+    # batch-native solver: the whole inner iLQR solve is a fused Pallas
+    # megakernel; fall back to the vmapped engine if the Pallas path fails
+    # to compile in this environment
     run = jax.jit(functools.partial(solve_batched, cfg=cfg))
     try:
         res = run(ob)
-        res.cost.block_until_ready()  # compile + warm-up
+        _ = float(res.cost[0])  # compile + force real completion
     except Exception:
         from nmpc_tpu.parallel.batch import batched_solve
 
         run = jax.jit(functools.partial(batched_solve, cfg=cfg))
         res = run(ob)
-        res.cost.block_until_ready()
+        _ = float(res.cost[0])
 
     iters = 4
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
-        # re-jitter so no iteration reuses converged state
-        ob_i = dataclasses.replace(ob, x0=x0s + 1e-3 * i)
+        key, sub = jax.random.split(key)
+        x0s = base.x0[None] + 0.1 * jax.random.normal(sub, (B, base.nx), base.x0.dtype)
+        x0s.block_until_ready()  # inputs on device before the clock starts
+        ob_i = dataclasses.replace(ob, x0=x0s)
+        t0 = time.perf_counter()
         res = run(ob_i)
-    res.cost.block_until_ready()
-    dt = time.perf_counter() - t0
+        res.cost.block_until_ready()
+        times.append(time.perf_counter() - t0)
 
-    solves_per_s = B * iters / dt
+    solves_per_s = B / min(times)
     print(
         json.dumps(
             {
