@@ -37,6 +37,28 @@ from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mm, _mtm
 
 LANES = 128
 
+# v5e scoped-VMEM budget is 16 MB per core; leave headroom for the compiler's
+# own stack allocations (the ten-robot N=20 shape measured 17.8 MB demand
+# against the 16 MB limit).
+_VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+
+def mega_fits(ocp: OCP) -> bool:
+    """Static estimate: does the whole-solve megakernel's VMEM footprint
+    (scratch + double-buffered in/out blocks) fit the per-core budget?
+    Shapes that don't fit run the staged lane pipeline instead, whose
+    kernels chunk over stages."""
+    N, n, mc, nc = ocp.N, ocp.nx, ocp.nu, ocp.n_con
+    f = 4  # f32
+    scratch = (N * (n + mc + mc + mc * n) + n + n * n) * LANES * f
+    blocks_in = (n + N * n + N * nc + 1 + N * mc) * LANES * f
+    blocks_out = (N * mc + N * n + 2) * LANES * f
+    # register-spill stack of the backward-sweep body: A/B/lxx/luu plus the
+    # Q-expansion temporaries live as [.,.,LANES] stack arrays (calibrated
+    # against the compiler's reported demand: ten-robot N=20 -> 17.8 MB)
+    spill = (6 * n * n + 6 * mc * n + 4 * mc * mc) * LANES * f
+    return scratch + spill + 2 * (blocks_in + blocks_out) < _VMEM_LIMIT_BYTES
+
 
 def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
     """Stage expansion in registers (same math as expansions_pallas, but
@@ -276,6 +298,94 @@ def _make_megakernel(ocp: OCP, P, cfg):
         cost_ref[0] = cost_f
 
     return kernel
+
+
+def _make_al_update_kernel(ocp: OCP, P, lam_max: float, big: float):
+    """AL multiplier update + max-violation, lane-major.
+
+    Replicates solver.alilqr_batched's per-outer XLA phase
+    (masked_trajectory_constraints -> lam = clip(max(0, lam - mu c), 0,
+    lam_max); viol = max(0, -min c)) without leaving the lane layout — the
+    stage-0 state-row mask (ocp/problem.constraint_mask) is applied by
+    substituting c = BIG, exactly like masked_trajectory_constraints."""
+    N, n, mc, nrob = ocp.N, ocp.nx, ocp.nu, ocp.m
+
+    def kernel(prm, Xs_ref, U_ref, lam_ref, mu_ref, lam_out, viol_ref):
+        mu = mu_ref[0]                                   # [1, T]
+
+        def stage(k, cmin):
+            x = Xs_ref[0, k]
+            u = U_ref[0, k]
+            lam_k = lam_ref[0, k]                        # [nc, T]
+            rows = []
+            if ocp.n_pairs:
+                for (i, j) in zip(*pair_indices(nrob)):
+                    dx = x[3 * i : 3 * i + 1] - x[3 * j : 3 * j + 1]
+                    dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
+                    c = dx * dx + dy * dy - prm[0, P.dmin2]
+                    rows.append(jnp.where(k == 0, big, c))
+            for i in range(nrob):
+                for o in range(ocp.n_obs):
+                    dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
+                    dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
+                    dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
+                    c = dist - prm[0, P.obs + 3 * o + 2]
+                    rows.append(jnp.where(k == 0, big, c))
+            for i in range(mc):
+                rows.append(u[i : i + 1] - prm[0, P.u_lo + i])
+            for i in range(mc):
+                rows.append(prm[0, P.u_hi + i] - u[i : i + 1])
+            for i in range(n):
+                c = x[i : i + 1] - prm[0, P.x_lo + i]
+                rows.append(jnp.where(k == 0, big, c))
+            for i in range(n):
+                c = prm[0, P.x_hi + i] - x[i : i + 1]
+                rows.append(jnp.where(k == 0, big, c))
+            c_all = jnp.concatenate(rows, axis=0)        # [nc, T]
+            act = jnp.maximum(0.0, lam_k - mu * c_all)
+            lam_out[0, k] = jnp.minimum(act, lam_max)
+            return jnp.minimum(cmin, jnp.min(c_all, axis=0, keepdims=True))
+
+        cmin = jax.lax.fori_loop(0, N, stage, jnp.full_like(mu, big))
+        viol_ref[0] = jnp.maximum(0.0, -cmin)
+
+    return kernel
+
+
+def al_update_lanes(ocp: OCP, Xs_l, U_l, lam_l, mu_l, lam_max: float,
+                    interpret=None):
+    """Lane-major AL outer update: (lam_new_l [t,N,nc,L], viol_l [t,1,L])."""
+    from nmpc_tpu.ocp.problem import BIG
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiles = Xs_l.shape[0]
+    N, n, mc = ocp.N, ocp.nx, ocp.nu
+    dtype = Xs_l.dtype
+    P = _P(n, mc, 1, ocp.n_obs)
+    prm = _pack_params(ocp, (0.0,))
+
+    def vs(nstg, *dims):
+        nd = len(dims)
+        return pl.BlockSpec((1, nstg, *dims, LANES),
+                            lambda i, nd=nd: (i,) + (0,) * (nd + 2),
+                            memory_space=pltpu.VMEM)
+
+    lane = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    lam_new, viol = pl.pallas_call(
+        _make_al_update_kernel(ocp, P, lam_max, BIG),
+        grid=(tiles,),
+        in_specs=[sm, vs(N, n), vs(N, mc), vs(N, ocp.n_con), lane],
+        out_specs=(vs(N, ocp.n_con), lane),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, N, ocp.n_con, LANES), dtype),
+            jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
+        ),
+        interpret=interpret,
+    )(prm, Xs_l, U_l, lam_l, mu_l)
+    return lam_new, viol
 
 
 def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,

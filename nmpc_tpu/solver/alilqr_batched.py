@@ -204,8 +204,12 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
 def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> SolveResult:
     """Megakernel path: the whole inner iLQR solve is ONE Pallas program per
     AL outer step (ops/megasolve_pallas.py) — expansions are recomputed
-    on-the-fly in VMEM and never touch HBM. Bit-identical to the staged lane
-    pipeline (verified)."""
+    on-the-fly in VMEM and never touch HBM. The AL multiplier update between
+    outer steps is a second lane-major kernel (al_update_lanes), so lam never
+    leaves the lane layout inside the loop — zero transposes per outer step.
+    Matches the staged lane pipeline (verified)."""
+    from nmpc_tpu.ops.megasolve_pallas import al_update_lanes
+
     N, n, mc = ocp_b.N, ocp_b.nx, ocp_b.nu
     dtype = ocp_b.x0.dtype
     tiles = Bt // LANES
@@ -213,7 +217,11 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     x0_l = _to_lane(ocp_b.x0[:, None], tiles)
     xref_l = _to_lane(ocp_b.xref, tiles)
     U_l = _to_lane(U, tiles)
+    lam_l = _to_lane(lam, tiles)
     Xs_l = jnp.zeros((tiles, N, n, LANES), dtype)
+
+    def lane_vec(a_l):  # [t, 1, L] -> [Bt]
+        return _from_lane(a_l[:, None], Bt)[:, 0, 0]
 
     def constraints_std(Xs_l, U_l):
         Xs = _from_lane(Xs_l, Bt)
@@ -227,30 +235,30 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
         return (it < cfg.n_outer) & (~jnp.all(done))
 
     def outer_body(c):
-        Xs_l, U_l, lam, mu, it, inner_tot, done = c
-        lam_l = _to_lane(lam, tiles)
+        Xs_l, U_l, lam_l, mu, it, inner_tot, done = c
         mu_l = _to_lane(mu[:, None], tiles)
         Xs_l, U_l, _, iters_l = inner_solve_fused(
             ocp_b, x0_l, xref_l, lam_l, mu_l, U_l, cfg
         )
-        iters = jnp.max(_from_lane(iters_l[:, None], Bt)[:, 0, 0]).astype(jnp.int32)
-        _, _, cmask = constraints_std(Xs_l, U_l)
-        viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
-        lam_new = jnp.clip(
-            jnp.maximum(0.0, lam - mu[:, None, None] * cmask), 0.0, cfg.lam_max
+        iters = jnp.max(lane_vec(iters_l)).astype(jnp.int32)
+        lam_new_l, viol_l = al_update_lanes(
+            ocp_b, Xs_l, U_l, lam_l, mu_l, cfg.lam_max
         )
+        viol = lane_vec(viol_l)
         newly = viol < cfg.tol_con
-        lam = jnp.where(done[:, None, None], lam, lam_new)
+        done_l = _to_lane(done[:, None].astype(dtype), tiles)[:, :, None, :]
+        lam_l = jnp.where(done_l > 0.5, lam_l, lam_new_l)
         mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
         done = done | newly
-        return (Xs_l, U_l, lam, mu, it + 1, inner_tot + iters, done)
+        return (Xs_l, U_l, lam_l, mu, it + 1, inner_tot + iters, done)
 
     zero = jnp.zeros((), jnp.int32)
-    Xs_l, U_l, lam, mu, outer, inner_tot, done = jax.lax.while_loop(
+    Xs_l, U_l, lam_l, mu, outer, inner_tot, done = jax.lax.while_loop(
         outer_cond, outer_body,
-        (Xs_l, U_l, lam, mu, zero, zero, jnp.zeros((Bt,), bool)),
+        (Xs_l, U_l, lam_l, mu, zero, zero, jnp.zeros((Bt,), bool)),
     )
 
+    lam = _from_lane(lam_l, Bt)
     Xs, U, cmask = constraints_std(Xs_l, U_l)
     viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
     # terminal state for the full trajectory output
@@ -315,9 +323,12 @@ def solve_batched(
     U, lam, mu = warm.U, warm.lam, warm.mu
     use_pallas_ls = rollout_pallas.supports(ocp_b)
     if use_pallas_ls:
-        if cfg.mega:
+        from nmpc_tpu.ops.megasolve_pallas import mega_fits
+
+        if cfg.mega and mega_fits(ocp_b):
             return _solve_mega(ocp_b, U, lam, mu, cfg, B, Bt)
-        # staged lane-major fused path (kept for comparison/debug)
+        # staged lane-major fused path (comparison/debug, and the fallback
+        # for shapes whose whole-solve VMEM footprint exceeds the core budget)
         return _solve_lanes(ocp_b, U, lam, mu, cfg, B, Bt)
     X = _rollout_b(ocp_b, U)
     alphas = jnp.asarray(cfg.alphas, dtype)

@@ -79,3 +79,45 @@ def test_expansions_and_solve_with_obstacles():
     np.testing.assert_allclose(np.asarray(rb.cost), np.asarray(rv.cost), rtol=1e-2)
     assert bool(jnp.all(rb.converged))
     assert float(jnp.max(rb.viol)) < 1e-3
+
+
+def test_al_update_lanes_matches_xla():
+    """Lane-major AL multiplier update kernel == the XLA reference
+    (masked_trajectory_constraints -> clip(max(0, lam - mu c), 0, lam_max),
+    viol = max(0, -min c))."""
+    import dataclasses
+
+    from nmpc_tpu.ocp import problem as P
+    from nmpc_tpu.ops.megasolve_pallas import al_update_lanes
+    from nmpc_tpu.ops.riccati_pallas import LANES, _from_lane, _to_lane
+    from nmpc_tpu.scenarios import get
+
+    base = get("six_robot_antipodal").make(N=8)
+    Bt = LANES
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    Xs = base.x0[None, None] + 0.3 * jax.random.normal(k1, (Bt, 8, base.nx))
+    U = 0.2 * jax.random.normal(k2, (Bt, 8, base.nu))
+    lam = jnp.abs(jax.random.normal(k3, (Bt, 8, base.n_con)))
+    mu = jnp.full((Bt,), 10.0)
+
+    lam_l, viol_l = al_update_lanes(
+        base, _to_lane(Xs, 1), _to_lane(U, 1), _to_lane(lam, 1),
+        _to_lane(mu[:, None], 1), lam_max=1e6)
+    lam_k = _from_lane(lam_l, Bt)
+    viol_k = _from_lane(viol_l[:, None], Bt)[:, 0, 0]
+
+    def ref_one(x0_b, Xs_b, U_b, lam_b, mu_b):
+        o = dataclasses.replace(base, x0=x0_b)
+        X_full = jnp.concatenate([Xs_b, Xs_b[-1:]], axis=0)
+        c = P.masked_trajectory_constraints(o, X_full, U_b)
+        viol = jnp.maximum(0.0, -jnp.min(c))
+        lam_new = jnp.clip(jnp.maximum(0.0, lam_b - mu_b * c), 0.0, 1e6)
+        return lam_new, viol
+
+    lam_ref, viol_ref = jax.vmap(ref_one)(
+        jnp.tile(base.x0[None], (Bt, 1)), Xs, U, lam, mu)
+    np.testing.assert_allclose(np.array(lam_k), np.array(lam_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(viol_k), np.array(viol_ref),
+                               rtol=1e-5, atol=1e-6)
