@@ -193,7 +193,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
 
     def kernel(prm, x0_ref, xref_ref, lam_ref, mu_ref, Uin_ref,
                Uout_ref, Xout_ref, cost_ref, iters_ref,
-               X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s):
+               X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s):
         mu = mu_ref[0]                     # [1, T]
         x0 = x0_ref[0, 0]                  # [n, T]
         iters_ref[0] = jnp.zeros_like(mu)
@@ -210,9 +210,21 @@ def _make_megakernel(ocp: OCP, P, cfg):
 
         _, cost0 = jax.lax.fori_loop(0, N, init_roll,
                                      (x0, jnp.zeros_like(mu)))
+        cost_s[...] = cost0
+        done_s[...] = jnp.zeros_like(mu)
 
-        def inner(it, carry):
-            cost_cur, done = carry         # [1,T], [1,T] (1.0 = done)
+        # once every lane of the tile has converged, whole iterations are
+        # skipped (a converged iteration is a no-op by construction:
+        # alpha = 0 reproduces the nominal trajectory exactly)
+        def inner_guarded(it, _):
+            @pl.when(jnp.logical_not(jnp.all(done_s[...] > 0.5)))
+            def _body():
+                inner()
+
+            return 0
+
+        def inner():
+            cost_cur, done = cost_s[...], done_s[...]  # [1,T] (1.0 = done)
 
             # ---- backward sweep with on-the-fly expansions ----
             Vx_s[...] = jnp.zeros_like(Vx_s)
@@ -284,10 +296,10 @@ def _make_megakernel(ocp: OCP, P, cfg):
             done = jnp.maximum(done, jnp.where(
                 (~improved) | (rel < cfg.tol_cost), 1.0, 0.0))
             iters_ref[0] += jnp.where(done > 0.5, 0.0, 1.0)
-            return (cost_new, done)
+            cost_s[...] = cost_new
+            done_s[...] = done
 
-        cost_f, _ = jax.lax.fori_loop(
-            0, cfg.n_inner, inner, (cost0, jnp.zeros_like(mu)))
+        jax.lax.fori_loop(0, cfg.n_inner, inner_guarded, 0)
 
         def writeout(k, _):
             Uout_ref[0, k] = U_s[k]
@@ -295,7 +307,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
             return 0
 
         jax.lax.fori_loop(0, N, writeout, 0)
-        cost_ref[0] = cost_f
+        cost_ref[0] = cost_s[...]
 
     return kernel
 
@@ -430,6 +442,8 @@ def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
             pltpu.VMEM((N, mc, n, LANES), dtype),    # Kfb
             pltpu.VMEM((n, 1, LANES), dtype),        # Vx
             pltpu.VMEM((n, n, LANES), dtype),        # Vxx
+            pltpu.VMEM((1, LANES), dtype),           # merit (current iterate)
+            pltpu.VMEM((1, LANES), dtype),           # per-lane done flags
         ],
         interpret=interpret,
     )(prm, x0_l, xref_l, lam_l, mu_l, U_l)

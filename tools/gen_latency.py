@@ -58,9 +58,15 @@ def main():
                                    # (block_until_ready alone can return
                                    # early through the tunnel; STATUS.md)
         res = res_full             # warm-start from the CONVERGED solution
+        # NO shift here: the measured x0 jitters around the same state, so
+        # the steady-state warm start is the previous solution itself.
+        # (Shifting every sample while x0 never advances walks the plan
+        # ~30 steps ahead of the state and the solves degrade — an artifact
+        # of the measurement, not of MPC, where shift accompanies an
+        # actually-advancing plant.)
         warm = WarmStart(
-            U=jnp.concatenate([res.U[1:], res.U[-1:]], 0),
-            lam=jnp.concatenate([res.lam[1:], res.lam[-1:]], 0),
+            U=res.U,
+            lam=res.lam,
             mu=jnp.asarray(cfg.mu_init, ocp.x0.dtype),
         )
         key = jax.random.PRNGKey(0)
@@ -74,11 +80,7 @@ def main():
             res.U.block_until_ready()
             samples.append(time.perf_counter() - t0)
             viols.append(float(res.viol))
-            warm = WarmStart(
-                U=jnp.concatenate([res.U[1:], res.U[-1:]], 0),
-                lam=jnp.concatenate([res.lam[1:], res.lam[-1:]], 0),
-                mu=warm.mu,
-            )
+            warm = WarmStart(U=res.U, lam=res.lam, mu=warm.mu)
         st = latency_stats(samples)
         st["min_ms"] = float(np.min(samples) * 1e3)
         st["viol"] = float(np.max(viols))
@@ -132,16 +134,19 @@ def main():
             "observed over the run is reported).\n\n"
             "'fused rt' = the same rt config through solve_one (batch-native\n"
             "megakernel at B=1) — the lower-latency engine at long horizons.\n\n"
-            "| scenario | m | N | budget ms | full p50 ms | rt p50 ms | rt min ms | fused rt p50 ms | rt max viol | rt<=budget |\n"
+            "The budget verdict uses the FULL config: reduced-iteration rt\n"
+            "modes trade feasibility for speed and degrade on the\n"
+            "tight-collision cases (see their viol column) — closed-loop\n"
+            "drivers should run full-strength solves each period.\n\n"
+            "| scenario | m | N | budget ms | full p50 ms | full max viol | rt p50 ms | fused rt p50 ms | rt max viol | full<=budget |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, m, N, budget, st, rt, fz in rows:
             fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
-            best = min(rt["p50_ms"], fz["p50_ms"]) if fz else rt["p50_ms"]
             f.write(
                 f"| {name} | {m} | {N} | {budget:.0f} | {st['p50_ms']:.2f} | "
-                f"{rt['p50_ms']:.2f} | {rt['min_ms']:.2f} | {fz_s} | {rt['viol']:.1e} | "
-                f"{'yes' if best <= budget else 'no'} |\n"
+                f"{st['viol']:.1e} | {rt['p50_ms']:.2f} | {fz_s} | {rt['viol']:.1e} | "
+                f"{'yes' if st['p50_ms'] <= budget else 'no'} |\n"
             )
         f.write(
             "\nNotes:\n\n"
