@@ -42,7 +42,14 @@ class MPCConfig:
     mu_reset: bool = True      # reset penalty weight each step (multipliers
                                # are kept — they carry the active set; a
                                # carried-over stiff mu makes warm inner solves
-                               # stall after one iteration)
+                               # stall after one iteration). Full-strength
+                               # solver configs re-grow mu over their outer
+                               # loop so the reset is safe; reduced-iteration
+                               # rt configs MUST set this False — lam learned
+                               # at a stiff mu re-applied at mu_init breaks
+                               # the PHR activation band (see steady_warm)
+    lam_decay: float = 1.0     # dual filtering on the shifted multipliers
+                               # (rt modes; see shift_warm)
     # Parking-saddle escape: the unicycle OCP has a genuine stationary point
     # when the position error is perpendicular to the heading (verified: the
     # SLSQP oracle also returns u ~ 0 there). The reference escapes it only
@@ -89,16 +96,40 @@ class MPCResult:
     goal_idx_hist: jax.Array # [S] active waypoint index (zeros unless waypoint mode)
 
 
-def shift_warm(res: SolveResult, cfg: ALILQRConfig, mu_reset: bool = False) -> WarmStart:
+def shift_warm(res: SolveResult, cfg: ALILQRConfig, mu_reset: bool = False,
+               lam_decay: float = 1.0) -> WarmStart:
     """Reference `shift()` semantics — drop the first stage, repeat the last
     (six-robot file :90-99 for u0, :382-387 for X0) — applied to controls and
     per-stage multipliers. The state trajectory needs no explicit shift here:
     the solver re-rolls states from the new measurement (single-shooting
-    iterates), which reproduces the reference's X0 re-seeding."""
+    iterates), which reproduces the reference's X0 re-seeding.
+
+    `lam_decay` < 1 forgets a fraction of the carried multipliers each step
+    (dual filtering) — useful in reduced-iteration rt modes where the scene
+    geometry the multipliers encode goes stale faster than two outer updates
+    can repair."""
     U = jnp.concatenate([res.U[1:], res.U[-1:]], axis=0)
-    lam = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+    lam = lam_decay * jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
     mu = jnp.asarray(cfg.mu_init, res.mu.dtype) if mu_reset else res.mu
     return WarmStart(U=U, lam=lam, mu=mu)
+
+
+def steady_warm(res: SolveResult, lam_decay: float = 1.0) -> WarmStart:
+    """Warm start for the reduced-iteration rt steady state: carry U, the
+    (optionally decayed) multipliers, AND the penalty weight mu they were
+    learned at.
+
+    Carrying lam while resetting mu is what made rt mode blow up (STATUS.md
+    round-1 finding): the PHR activation band is c < lam/mu, so multipliers
+    built at mu=1e4 re-applied at mu=10 exert their full outward force until
+    c > lam/10 — an enormous unconditional push on well-satisfied
+    constraints that flings the iterate into box-bound violation (measured on
+    six_robot_antipodal: first 2x5-iteration warm solve jumps viol 0.2 -> 66,
+    cost 1e3 -> 5e4). With mu carried the same 2x5 budget stays bounded at
+    the full solver's own violation level (worst 0.48 over 30 solves); an
+    intermediate mu=1e3 reset is worst of all (lam winds up to lam_max,
+    viol 2e2). tools/rt_drift_experiment.py reproduces all three."""
+    return WarmStart(U=res.U, lam=lam_decay * res.lam, mu=res.mu)
 
 
 def _wrap_angle(a):
@@ -205,7 +236,7 @@ def closed_loop(
         x_next, _ = plant_step(x, u0, ocp.T, plant, step_key)
         x_next = jnp.where(done, x, x_next)
         w_next = jax.tree.map(
-            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset)
+            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset, mpc.lam_decay)
         )
         steps = steps + jnp.where(done, 0, 1)
         out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
@@ -253,7 +284,7 @@ def closed_loop_waypoints(
         x_next, _ = plant_step(x, u0, ocp.T, plant)
         x_next = jnp.where(done, x, x_next)
         w_next = jax.tree.map(
-            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset)
+            lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset, mpc.lam_decay)
         )
         steps = steps + jnp.where(done, 0, 1)
         out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
@@ -288,7 +319,7 @@ def closed_loop_tracking(
         u0 = res.U[0]
         x_next, _ = plant_step(x, u0, ocp.T, plant)
         err = jnp.linalg.norm(x - xref[0])
-        w_next = shift_warm(res, solver_cfg, mpc.mu_reset)
+        w_next = shift_warm(res, solver_cfg, mpc.mu_reset, mpc.lam_decay)
         out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
                _min_pair_dist(ocp, x_next), gidx)
         return (x_next, w_next, done, steps + 1, gidx), out

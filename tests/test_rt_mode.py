@@ -1,0 +1,77 @@
+"""Reduced-iteration rt steady-state mode: dual safeguarding.
+
+Round-1 finding (STATUS.md): warm-started 2x5-iteration solves on the
+tight-collision configs lost feasibility over repeated solves (viol up to
+~1e1-1e2). Root cause: carrying multipliers learned at mu=1e4 into a solve
+whose mu was reset to mu_init=10 breaks the PHR activation band
+(act = max(0, lam - mu c) stays on until c > lam/mu), so converged
+multipliers act as a huge unconditional outward force and the iterate is
+flung into box-bound violation. Fix: steady_warm carries mu with lam
+(mpc/driver.steady_warm; diagnosis script tools/rt_drift_experiment.py).
+
+These tests pin both sides: the safeguarded warm start stays bounded, and
+the historical failure mode (mu reset under carried lam) actually produces
+the blow-up it is claimed to — if the solver changes make the latter pass,
+the safeguard docs are stale and should be revisited.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmpc_tpu.mpc.driver import steady_warm
+from nmpc_tpu.scenarios import get
+from nmpc_tpu.solver.alilqr import ALILQRConfig, WarmStart, solve
+
+FULL = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-4)
+RT = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3)
+STEPS = 12
+
+
+def _rt_run(name, warm_of):
+    """Converge full once, then repeated jittered rt solves; returns the
+    worst violation over the run and the full-solve violation."""
+    ocp = get(name).make()
+    res = jax.jit(functools.partial(solve, cfg=FULL))(ocp)
+    full_viol = float(res.viol)
+    f = jax.jit(functools.partial(solve, cfg=RT))
+    warm = warm_of(res)
+    key = jax.random.PRNGKey(0)
+    worst = 0.0
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        x0 = ocp.x0 + 0.01 * jax.random.normal(sub, ocp.x0.shape, ocp.x0.dtype)
+        res = f(dataclasses.replace(ocp, x0=x0), warm)
+        warm = warm_of(res)
+        worst = max(worst, float(res.viol))
+    return worst, full_viol
+
+
+def test_steady_warm_bounded_two_robot():
+    worst, full_viol = _rt_run("two_robot_swap", steady_warm)
+    # measured 0.17 worst over 30 solves; full solve itself sits at ~6e-3
+    assert worst < 0.5, worst
+
+
+@pytest.mark.slow
+def test_steady_warm_bounded_six_robot():
+    worst, full_viol = _rt_run("six_robot_antipodal", steady_warm)
+    # the full solver's own violation on this config is ~0.24; bounded means
+    # staying at that level, not drifting to the 1e1-1e2 of the broken mode
+    assert worst < 3.0 * max(full_viol, 0.2), (worst, full_viol)
+
+
+def test_mu_reset_under_carried_lam_blows_up():
+    """The historical failure mode really is the mu reset (regression pin for
+    the diagnosis, not a desired behavior)."""
+    def bad_warm(res):
+        return WarmStart(U=res.U, lam=res.lam,
+                         mu=jnp.asarray(RT.mu_init, res.mu.dtype))
+
+    worst_bad, _ = _rt_run("two_robot_swap", bad_warm)
+    worst_good, _ = _rt_run("two_robot_swap", steady_warm)
+    assert worst_bad > 1.0, worst_bad          # measured ~4-7
+    assert worst_good < 0.5, worst_good

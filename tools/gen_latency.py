@@ -22,6 +22,7 @@ import numpy as np
 
 from nmpc_tpu.parallel.batch import batch_ocp
 from nmpc_tpu.scenarios import get
+from nmpc_tpu.mpc.driver import steady_warm
 from nmpc_tpu.solver.alilqr import ALILQRConfig, WarmStart, solve
 from nmpc_tpu.solver.alilqr_batched import solve_batched, solve_one
 from nmpc_tpu.ops.rollout_pallas import supports
@@ -64,11 +65,11 @@ def main():
         # ~30 steps ahead of the state and the solves degrade — an artifact
         # of the measurement, not of MPC, where shift accompanies an
         # actually-advancing plant.)
-        warm = WarmStart(
-            U=res.U,
-            lam=res.lam,
-            mu=jnp.asarray(cfg.mu_init, ocp.x0.dtype),
-        )
+        # steady_warm carries mu along with lam: resetting mu under carried
+        # multipliers breaks the PHR activation band and blows up the
+        # reduced-iteration solves (mpc/driver.steady_warm docstring;
+        # tools/rt_drift_experiment.py).
+        warm = steady_warm(res)
         key = jax.random.PRNGKey(0)
         samples, viols = [], []
         for i in range(30):
@@ -80,7 +81,7 @@ def main():
             res.U.block_until_ready()
             samples.append(time.perf_counter() - t0)
             viols.append(float(res.viol))
-            warm = WarmStart(U=res.U, lam=res.lam, mu=warm.mu)
+            warm = steady_warm(res)
         st = latency_stats(samples)
         st["min_ms"] = float(np.min(samples) * 1e3)
         st["viol"] = float(np.max(viols))
@@ -134,10 +135,11 @@ def main():
             "observed over the run is reported).\n\n"
             "'fused rt' = the same rt config through solve_one (batch-native\n"
             "megakernel at B=1) — the lower-latency engine at long horizons.\n\n"
-            "The budget verdict uses the FULL config: reduced-iteration rt\n"
-            "modes trade feasibility for speed and degrade on the\n"
-            "tight-collision cases (see their viol column) — closed-loop\n"
-            "drivers should run full-strength solves each period.\n\n"
+            "The budget verdict uses the FULL config. rt warm starts carry\n"
+            "the penalty weight mu alongside the multipliers (steady_warm) —\n"
+            "resetting mu under carried lam breaks the PHR activation band\n"
+            "and was what blew rt viol up to ~1e1-1e2 in earlier revisions\n"
+            "(mpc/driver.steady_warm; tools/rt_drift_experiment.py).\n\n"
             "| scenario | m | N | budget ms | full p50 ms | full max viol | rt p50 ms | fused rt p50 ms | rt max viol | full<=budget |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
         )
