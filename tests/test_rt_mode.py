@@ -64,6 +64,29 @@ def test_steady_warm_bounded_six_robot():
     assert worst < 3.0 * max(full_viol, 0.2), (worst, full_viol)
 
 
+@pytest.mark.slow
+def test_rt_closed_loop_two_robot_swap():
+    """rt config in the real closed loop (shift + advancing plant): seeded by
+    one full solve, mu carried (mu_reset=False). Progresses steadily and
+    stays feasible — with the old mu reset this run stalls mid-crossing at
+    max viol ~7.7 (measured)."""
+    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop, shift_warm
+
+    sc = get("two_robot_swap")
+    ocp = sc.make()
+    res0 = jax.jit(functools.partial(solve, cfg=FULL))(ocp)
+    mpc = MPCConfig(max_steps=500, stop_tol=sc.stop_tol, escape=True,
+                    mu_reset=False)
+    warm = shift_warm(res0, RT, mu_reset=False)
+    r = closed_loop(ocp, solver_cfg=RT, mpc=mpc, warm=warm)
+    su = int(r.steps_used)
+    err0, errF = float(r.err_hist[0]), float(r.err_hist[min(su, 499)])
+    assert errF < 0.65 * err0, (err0, errF)       # measured 2.2 at step 500
+    min_dist = float(jnp.min(r.min_dist_hist[: su + 1]))
+    assert min_dist >= float(jnp.sqrt(ocp.dmin2)) - 1e-2, min_dist
+    assert float(jnp.max(r.viol_hist[:su])) < 0.5  # measured 0.19
+
+
 def test_mu_reset_under_carried_lam_blows_up():
     """The historical failure mode really is the mu reset (regression pin for
     the diagnosis, not a desired behavior)."""
