@@ -28,7 +28,12 @@ def cmd_list() -> int:
 def cmd_run(args) -> int:
     import jax
 
-    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop, closed_loop_waypoints
+    from nmpc_tpu.mpc.driver import (
+        MPCConfig,
+        closed_loop,
+        closed_loop_waypoints,
+        rt_closed_loop,
+    )
     from nmpc_tpu.scenarios import get
     from nmpc_tpu.solver.alilqr import ALILQRConfig
     from nmpc_tpu.utils import save_run
@@ -64,6 +69,14 @@ def cmd_run(args) -> int:
         run = jax.jit(functools.partial(
             closed_loop_waypoints, waypoints=sc.waypoint_array,
             solver_cfg=solver_cfg, mpc=mpc, solve_fn=solve_fn))
+    elif args.rt:
+        # deployment recipe: one full-strength seed solve, then the cheap
+        # 2x5-iteration rt config each period with carried mu (driver.rt_closed_loop)
+        mpc = MPCConfig(max_steps=args.steps, stop_tol=sc.stop_tol, escape=True)
+        # rt mode drives the per-scenario AL-iLQR engine: the rt_cfg budget
+        # is what defines the mode, so an engine override would bypass it
+        run = jax.jit(functools.partial(rt_closed_loop, full_cfg=solver_cfg,
+                                        mpc=mpc))
     else:
         mpc = MPCConfig(max_steps=args.steps, stop_tol=sc.stop_tol, escape=True)
         run = jax.jit(functools.partial(closed_loop, solver_cfg=solver_cfg, mpc=mpc,
@@ -96,6 +109,10 @@ def main(argv=None) -> int:
     runp.add_argument("scenario")
     runp.add_argument("--steps", type=int, default=400)
     runp.add_argument("--save", default=None)
+    runp.add_argument("--rt", action="store_true",
+                      help="real-time mode: full-strength seed solve, then "
+                           "reduced-iteration (2x5) warm solves with carried "
+                           "mu each period (point-goal scenarios)")
     runp.add_argument("--engine", choices=("auto", "ilqr", "fused", "gn"),
                       default="auto",
                       help="NLP engine: per-scenario AL-iLQR, batch-native "

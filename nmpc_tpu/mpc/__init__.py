@@ -4,6 +4,7 @@ from nmpc_tpu.mpc.driver import (  # noqa: F401
     shift_warm,
     steady_warm,
     closed_loop,
+    rt_closed_loop,
     closed_loop_waypoints,
     closed_loop_tracking,
     plan_then_replay,

@@ -248,6 +248,28 @@ def closed_loop(
     return _scan_loop(ocp, step, carry0, mpc)
 
 
+def rt_closed_loop(
+    ocp: OCP,
+    full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12),
+    rt_cfg: ALILQRConfig = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3),
+    mpc: MPCConfig = MPCConfig(),
+    plant: PlantConfig = PlantConfig(),
+    key: jax.Array | None = None,
+    solve_fn=None,
+) -> MPCResult:
+    """Closed loop in the real-time recipe: ONE full-strength solve seeds the
+    multipliers/penalty, then every control period runs the reduced-iteration
+    rt config warm-started with carried mu (mu_reset is forced off — resetting
+    mu under carried lam is the drift failure mode, see steady_warm). This is
+    the per-step-budget deployment mode: the rt solve is ~2.5x cheaper than
+    the full config at equal warm latency floors (docs/LATENCY.md)."""
+    res0 = solve(ocp, cold_start(ocp, full_cfg), full_cfg)
+    warm = shift_warm(res0, rt_cfg, mu_reset=False, lam_decay=mpc.lam_decay)
+    mpc_rt = dataclasses.replace(mpc, mu_reset=False)
+    return closed_loop(ocp, solver_cfg=rt_cfg, mpc=mpc_rt, plant=plant,
+                       warm=warm, key=key, solve_fn=solve_fn)
+
+
 def closed_loop_waypoints(
     ocp: OCP,
     waypoints: jax.Array,  # [G, nx] goal sequence
