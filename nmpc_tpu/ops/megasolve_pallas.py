@@ -33,7 +33,7 @@ from nmpc_tpu.ops.rollout_pallas import (
     _stage_merit,
     supports,  # noqa: F401
 )
-from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mm, _mtm
+from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mtm
 
 LANES = 128
 
@@ -61,8 +61,16 @@ def mega_fits(ocp: OCP) -> bool:
 
 
 def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
-    """Stage expansion in registers (same math as expansions_pallas, but
-    returning dense [.,.,T] register tensors instead of writing refs)."""
+    """Stage expansion in registers (same math as expansions_pallas).
+
+    The unicycle Jacobians are never materialized dense: A = I + E with
+    E[3r, 3r+2] = -dt v sinθ =: e1[r], E[3r+1, 3r+2] = dt v cosθ =: e2[r],
+    and B has per-robot entries B[3r, 2r] = dt cosθ =: bc[r],
+    B[3r+1, 2r] = dt sinθ =: bs[r], B[3r+2, 2r+1] = dt. The backward sweep
+    consumes these [1, T] lane vectors directly (see `bwd`), turning the
+    O(n^3) dense V-propagation products into O(n) per-robot row/column
+    updates and eliminating the [n,n,T]/[n,mc,T] register spill that kept
+    the five- and ten-robot shapes out of VMEM."""
     n, mc, nrob = ocp.nx, ocp.nu, ocp.m
     zero = jnp.zeros_like(mu)
     one = jnp.ones_like(mu)
@@ -75,21 +83,15 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
                 [entries.get((a, b), zero) for b in range(cols)], axis=0))
         return jnp.stack(out, axis=0)
 
-    Ae, Be = {}, {}
+    e1, e2, bc, bs = [], [], [], []
     for r in range(nrob):
         th = x[3 * r + 2 : 3 * r + 3]
         v = u[2 * r : 2 * r + 1]
         c, s = jnp.cos(th), jnp.sin(th)
-        Ae[(3 * r, 3 * r)] = one
-        Ae[(3 * r + 1, 3 * r + 1)] = one
-        Ae[(3 * r + 2, 3 * r + 2)] = one
-        Ae[(3 * r, 3 * r + 2)] = -dt * v * s
-        Ae[(3 * r + 1, 3 * r + 2)] = dt * v * c
-        Be[(3 * r, 2 * r)] = dt * c
-        Be[(3 * r + 1, 2 * r)] = dt * s
-        Be[(3 * r + 2, 2 * r + 1)] = dt * one
-    A = dense(Ae, n, n)
-    B = dense(Be, n, mc)
+        e1.append(-dt * v * s)
+        e2.append(dt * v * c)
+        bc.append(dt * c)
+        bs.append(dt * s)
 
     lx_rows = [2.0 * prm[0, P.q + i] * (x[i : i + 1] - xr[i : i + 1]) for i in range(n)]
     lu_rows = [2.0 * prm[0, P.r + i] * u[i : i + 1] for i in range(mc)]
@@ -183,7 +185,7 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
     for i in range(mc):
         Ue[(i, i)] = 2.0 * prm[0, P.r + i] * one + du_diag[i]
     luu = dense(Ue, mc, mc)
-    return A, B, lx, lu, lxx, luu
+    return e1, e2, bc, bs, lx, lu, lxx, luu
 
 
 def _make_megakernel(ocp: OCP, P, cfg):
@@ -232,17 +234,61 @@ def _make_megakernel(ocp: OCP, P, cfg):
 
             def bwd(t, dV1):
                 k = N - 1 - t
-                A, B, lx, lu, lxx, luu = _expansion_regs(
+                e1, e2, bc, bs, lx, lu, lxx, luu = _expansion_regs(
                     ocp, P, prm, k, X_s[k], U_s[k], xref_ref[0, k],
                     lam_ref[0, k], mu)
-                Vx = Vx_s[...]
-                Vxx = Vxx_s[...]
-                VA = _mm(Vxx, A)
-                Qx = lx + _mtm(A, Vx)
-                Qu = lu + _mtm(B, Vx)
-                Qxx = lxx + _mtm(A, VA)
-                Qux = _mtm(B, VA)          # lux = 0 for this class
-                Quu = luu + _mtm(B, _mm(Vxx, B))
+                dt = prm[0, P.dt]
+                nrob = ocp.m
+                Vx = Vx_s[...]             # [n, 1, T]
+                Vxx = Vxx_s[...]           # [n, n, T]
+
+                # A = I + E (E nonzero only in columns 3r+2), so every dense
+                # product with A collapses to a copy plus per-robot rank-1
+                # row/column updates; B likewise has 3 entries per robot.
+                # VA = Vxx @ A: only columns 3r+2 pick up corrections.
+                va_cols = [Vxx[:, j : j + 1] for j in range(n)]
+                for r in range(nrob):
+                    va_cols[3 * r + 2] = (
+                        va_cols[3 * r + 2]
+                        + Vxx[:, 3 * r : 3 * r + 1] * e1[r][None]
+                        + Vxx[:, 3 * r + 1 : 3 * r + 2] * e2[r][None])
+                VA = jnp.concatenate(va_cols, axis=1)
+
+                # Qx = lx + A^T Vx; Qxx = lxx + A^T VA: rows 3r+2 corrected.
+                qx_rows = [lx[i : i + 1] + Vx[i : i + 1] for i in range(n)]
+                qxx_rows = [lxx[i : i + 1] + VA[i : i + 1] for i in range(n)]
+                for r in range(nrob):
+                    i0, i1, i2 = 3 * r, 3 * r + 1, 3 * r + 2
+                    qx_rows[i2] = (qx_rows[i2]
+                                   + e1[r][None] * Vx[i0 : i0 + 1]
+                                   + e2[r][None] * Vx[i1 : i1 + 1])
+                    qxx_rows[i2] = (qxx_rows[i2]
+                                    + e1[r][None] * VA[i0 : i0 + 1]
+                                    + e2[r][None] * VA[i1 : i1 + 1])
+                Qx = jnp.concatenate(qx_rows, axis=0)
+                Qxx = jnp.concatenate(qxx_rows, axis=0)
+
+                # B^T contractions: row 2r = bc*row(3r) + bs*row(3r+1),
+                # row 2r+1 = dt*row(3r+2) of the left operand.
+                def bt_rows(M):
+                    rows = []
+                    for r in range(nrob):
+                        i0 = 3 * r
+                        rows.append(bc[r][None] * M[i0 : i0 + 1]
+                                    + bs[r][None] * M[i0 + 1 : i0 + 2])
+                        rows.append(dt * M[i0 + 2 : i0 + 3])
+                    return jnp.concatenate(rows, axis=0)
+
+                Qu = lu + bt_rows(Vx)
+                Qux = bt_rows(VA)          # lux = 0 for this class
+                # VB = Vxx @ B, then Quu = luu + B^T VB.
+                vb_cols = []
+                for r in range(nrob):
+                    j0 = 3 * r
+                    vb_cols.append(bc[r][None] * Vxx[:, j0 : j0 + 1]
+                                   + bs[r][None] * Vxx[:, j0 + 1 : j0 + 2])
+                    vb_cols.append(dt * Vxx[:, j0 + 2 : j0 + 3])
+                Quu = luu + bt_rows(jnp.concatenate(vb_cols, axis=1))
                 L = _chol(Quu, reg)
                 sol = _chol_solve(L, jnp.concatenate([Qu, Qux], axis=1))
                 kff = -sol[:, :1]
