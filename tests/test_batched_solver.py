@@ -90,3 +90,18 @@ def test_solve_one_warm_start_roundtrip():
     res2 = jax.jit(functools.partial(solve_one, cfg=CFG))(ocp, warm)
     assert res2.U.shape == (10, 2)
     assert float(res2.viol) < 1e-3
+
+
+def test_mega_vmem_gate_admits_all_fused_class_registry_shapes():
+    """The structured backward sweep removed the dense-A/B register spill,
+    so every fused-class registry shape — including five-robot N=70 and
+    ten-robot N=20, previously staged-lanes-only — fits the megakernel's
+    VMEM gate (verified to compile and solve on v5e hardware)."""
+    from nmpc_tpu.ops.megasolve_pallas import mega_fits
+    from nmpc_tpu.ops.rollout_pallas import supports
+
+    for name in ("single_robot", "tb3_1", "two_robot_swap", "five_robot",
+                 "six_robot_antipodal", "eight_robot", "ten_robot"):
+        ocp = get(name).make()
+        assert supports(ocp), name
+        assert mega_fits(ocp), name
