@@ -37,11 +37,17 @@ from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mtm
 
 LANES = 128
 
-# v5e scoped-VMEM budget is 16 MB per core. With the structured backward
-# sweep (no dense A/B register tensors) the estimate below puts the
-# ten-robot N=20 shape at 15.3 MB and it compiles and solves on hardware,
-# so the gate runs close to the physical budget.
-_VMEM_LIMIT_BYTES = int(15.5 * 1024 * 1024)
+# v5e scoped-VMEM budget is 16 MiB per core. The formula in mega_fits is an
+# *estimate* of the compiler's scoped-VMEM demand; on hardware the Mosaic
+# compiler reports slightly more than the formula predicts (ten-robot N=20:
+# formula 15.0 MiB, compiler-reported ~15.3 MB; the pre-structured-sweep
+# formula under-predicted by ~5%: 17.0 MiB estimated vs 17.8 MB measured).
+# The gate therefore inflates the estimate by the worst observed
+# estimate-to-actual ratio before comparing against the physical budget, so
+# a near-gate shape whose true demand exceeds 16 MiB falls back to the
+# staged lane pipeline instead of hard-failing at compile time.
+_VMEM_PHYSICAL_BYTES = 16 * 1024 * 1024
+_CALIBRATION = 1.05  # worst measured actual/estimate ratio (17.8 / 17.0)
 
 
 def mega_fits(ocp: OCP) -> bool:
@@ -58,7 +64,8 @@ def mega_fits(ocp: OCP) -> bool:
     # keeps VA/Qxx/lxx dense [n,n,T] plus the B-contraction temporaries
     # (dense A/B and their products no longer exist)
     spill = (4 * n * n + 3 * mc * n + 3 * mc * mc) * LANES * f
-    return scratch + spill + 2 * (blocks_in + blocks_out) < _VMEM_LIMIT_BYTES
+    estimate = scratch + spill + 2 * (blocks_in + blocks_out)
+    return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
 
 def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):

@@ -20,4 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# NMPC_TPU_TESTS=1 leaves the platform alone so @pytest.mark.tpu tests
+# (run with `NMPC_TPU_TESTS=1 pytest -m tpu`) exercise real hardware —
+# e.g. the megakernel VMEM-gate admission test actually compiles on chip.
+if not os.environ.get("NMPC_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")

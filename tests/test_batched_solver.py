@@ -6,6 +6,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nmpc_tpu.parallel.batch import batch_ocp
 from nmpc_tpu.scenarios import get
@@ -105,3 +106,26 @@ def test_mega_vmem_gate_admits_all_fused_class_registry_shapes():
         ocp = get(name).make()
         assert supports(ocp), name
         assert mega_fits(ocp), name
+
+
+@pytest.mark.tpu
+def test_mega_gate_admission_compiles_on_hardware():
+    """The gate's admission is exercised for real: every shape mega_fits
+    admits must actually compile (Mosaic scoped-VMEM) and solve on the chip.
+    Covers the failure mode the static-estimate test above cannot: the spill
+    heuristic drifting from real compiler demand. Run with
+    `NMPC_TPU_TESTS=1 python -m pytest tests/test_batched_solver.py -m tpu`."""
+    import pytest as _pytest
+
+    if jax.default_backend() != "tpu":
+        _pytest.skip("needs a real TPU (set NMPC_TPU_TESTS=1)")
+    from nmpc_tpu.ops.megasolve_pallas import mega_fits
+
+    cfg = ALILQRConfig(n_outer=2, n_inner=4, tol_con=1e-3)
+    # the two near-gate shapes (largest estimates) plus the headline config
+    for name in ("five_robot", "ten_robot", "six_robot_antipodal"):
+        ocp = get(name).make()
+        assert mega_fits(ocp), name
+        ob = batch_ocp(ocp, ocp.x0[None])
+        res = jax.jit(functools.partial(solve_batched, cfg=cfg))(ob)
+        assert np.isfinite(float(res.cost[0])), name
