@@ -50,6 +50,13 @@ class MPCConfig:
                                # the PHR activation band (see steady_warm)
     lam_decay: float = 1.0     # dual filtering on the shifted multipliers
                                # (rt modes; see shift_warm)
+    wrap_yaw: bool = False     # wrap the measured yaw to [0, 2pi) before each
+                               # solve — the reference's modify() on odometry
+                               # (mpc_online_casadi.py:28-33). Off by default:
+                               # the headline scripts disable it (six-robot
+                               # file :81-87 returns theta unchanged on both
+                               # branches). Prevents accumulated-theta drift
+                               # from the goal branch on long runs.
     # Parking-saddle escape: the unicycle OCP has a genuine stationary point
     # when the position error is perpendicular to the heading (verified: the
     # SLSQP oracle also returns u ~ 0 there). The reference escapes it only
@@ -160,6 +167,16 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     u_mpc = u0.reshape(m, 2)
     stalled = (jnp.max(jnp.abs(u_mpc), axis=-1) < mpc.escape_u_tol) & (err_i > 0.7 * thresh)
     esc = (esc_flags | stalled) & (err_i > 0.35 * thresh) & (~done)
+    if ocp.n_pairs:
+        # The parking law knows nothing about collision rows, so it may only
+        # drive a robot with clearance: a multi-robot standoff at the dmin
+        # ring (e.g. the myopic eight-robot N=5 config) must stay a standoff,
+        # not a push-through. 1.5x dmin keeps a full stopping margin.
+        pos2 = pose[:, :2]
+        d2 = jnp.sum((pos2[:, None] - pos2[None]) ** 2, axis=-1)
+        d2 = d2 + jnp.eye(m, dtype=x.dtype) * 1e9
+        clear = jnp.sqrt(jnp.min(d2, axis=1)) > 1.5 * jnp.sqrt(ocp.dmin2)
+        esc = esc & clear
 
     v_hi = ocp.u_hi[0 :: 2][:m]
     w_hi = ocp.u_hi[1 :: 2][:m]
@@ -171,6 +188,19 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     u_esc = jnp.stack([v, w], axis=-1)
     u = jnp.where(esc[:, None], u_esc, u_mpc).reshape(2 * m)
     return u, esc
+
+
+def _wrap_yaw_state(ocp: OCP, x):
+    """Reference modify() semantics: wrap each robot's measured yaw to
+    [0, 2pi) before the solve (mpc_online_casadi.py:28-33). Ray states (if
+    any) are untouched. Physically a no-op (the unicycle is 2pi-periodic in
+    theta) but it keeps the theta tracking error bounded on long runs."""
+    from nmpc_tpu.sim.frames import wrap_to_2pi
+
+    idx = jnp.arange(3 * ocp.m) % 3 == 2
+    if ocp.num_rays:
+        idx = jnp.concatenate([idx, jnp.zeros((ocp.num_rays,), bool)])
+    return jnp.where(idx, wrap_to_2pi(x), x)
 
 
 def _min_pair_dist(ocp: OCP, x):
@@ -220,6 +250,8 @@ def closed_loop(
 
     def step(carry, k):
         x, w, done, steps, gidx, esc = carry
+        if mpc.wrap_yaw:
+            x = _wrap_yaw_state(ocp, x)
         err = jnp.linalg.norm(x - goal)
         done = done | (err <= mpc.stop_tol)
         ocp_k = dataclasses.replace(ocp, x0=x)

@@ -37,6 +37,15 @@ from nmpc_tpu.models.unicycle import discrete_dynamics
 BIG = 1e9
 
 
+# Static (hashable) OCP fields — the compiled-program key. Single source of
+# truth for every module that splits OCP leaves from metadata (vmap axis
+# templates, batching helpers).
+OCP_META = (
+    "m", "N", "n_obs", "num_rays", "integrator", "collision", "n_mov",
+    "dyn_fn", "nx_gen", "nu_gen", "substeps",
+)
+
+
 def num_pairs(m: int) -> int:
     return m * (m - 1) // 2
 
@@ -72,7 +81,7 @@ def pair_indices(m: int):
         "p_obs",
         "mov_obs",
     ),
-    meta_fields=("m", "N", "n_obs", "num_rays", "integrator", "collision", "n_mov"),
+    meta_fields=OCP_META,
 )
 @dataclasses.dataclass(frozen=True)
 class OCP:
@@ -118,12 +127,32 @@ class OCP:
     # the same squared-distance bound dmin2 as the centralized pair rows.
     mov_obs: jax.Array
 
+    # --- generic-dynamics hook (static; defaults keep the unicycle class) ---
+    # The reference's CasADi layer accepts *any* symbolic dynamics — it solves
+    # a Van der Pol OCP (AllScripts/mpc_pose_control_casadi.py:25-33) and a
+    # first-order process model (AllScripts/mpc_test.py:22-32) with the same
+    # machinery. dyn_fn is a user continuous-time RHS f(x, u) -> xdot; when
+    # set, nx/nu come from nx_gen/nu_gen, the transcription integrates dyn_fn
+    # (Euler or RK4 with `substeps` sub-intervals), Jacobians fall back to
+    # jax.jacfwd, and the constraint set reduces to the u/x boxes (the robot
+    # geometry rows require the stacked-unicycle layout). Callables hash by
+    # identity: one compiled program per model function, like every other
+    # meta field.
+    dyn_fn: object = None
+    nx_gen: int = 0
+    nu_gen: int = 0
+    substeps: int = 1
+
     @property
     def nx(self) -> int:
+        if self.dyn_fn is not None:
+            return self.nx_gen
         return 3 * self.m + self.num_rays
 
     @property
     def nu(self) -> int:
+        if self.dyn_fn is not None:
+            return self.nu_gen
         return 2 * self.m
 
     @property
@@ -253,13 +282,106 @@ def make_ocp(
     )
 
 
+def make_generic_ocp(
+    f,
+    *,
+    nx: int,
+    nu: int,
+    N: int,
+    T: float,
+    x0,
+    x_goal=None,
+    xref=None,
+    Qdiag=None,
+    Rdiag=None,
+    u_lo=None,
+    u_hi=None,
+    x_lo=None,
+    x_hi=None,
+    integrator: str = "rk4",
+    substeps: int = 1,
+    dtype=jnp.float32,
+) -> OCP:
+    """OCP over arbitrary user dynamics `f(x, u) -> xdot` — the capability of
+    the reference's CasADi layer, which solves a Van der Pol OCP
+    (AllScripts/mpc_pose_control_casadi.py:25-33,66-108) and a first-order
+    process model (AllScripts/mpc_test.py:22-32) with the same machinery as
+    the robot problems. The constraint set is the u/x boxes; cost is the
+    diagonal tracking form. Solvable by the same AL-iLQR engine (Jacobians
+    via jax.jacfwd)."""
+    x0 = jnp.asarray(x0, dtype).reshape(nx)
+    if xref is None:
+        goal = (jnp.zeros((nx,), dtype) if x_goal is None
+                else jnp.asarray(x_goal, dtype).reshape(nx))
+        xref = jnp.tile(goal[None, :], (N, 1))
+    else:
+        xref = jnp.asarray(xref, dtype).reshape(N, nx)
+    Qdiag = jnp.ones((nx,), dtype) if Qdiag is None else jnp.asarray(Qdiag, dtype).reshape(nx)
+    Rdiag = jnp.ones((nu,), dtype) if Rdiag is None else jnp.asarray(Rdiag, dtype).reshape(nu)
+    u_lo = jnp.full((nu,), -BIG, dtype) if u_lo is None else jnp.asarray(u_lo, dtype).reshape(nu)
+    u_hi = jnp.full((nu,), BIG, dtype) if u_hi is None else jnp.asarray(u_hi, dtype).reshape(nu)
+    x_lo = jnp.full((nx,), -BIG, dtype) if x_lo is None else jnp.asarray(x_lo, dtype).reshape(nx)
+    x_hi = jnp.full((nx,), BIG, dtype) if x_hi is None else jnp.asarray(x_hi, dtype).reshape(nx)
+    return OCP(
+        m=1,
+        N=N,
+        n_obs=0,
+        num_rays=0,
+        integrator=integrator,
+        collision=False,
+        n_mov=0,
+        T=jnp.asarray(T, dtype),
+        Qdiag=Qdiag,
+        Rdiag=Rdiag,
+        x0=x0,
+        xref=xref,
+        u_lo=u_lo,
+        u_hi=u_hi,
+        x_lo=x_lo,
+        x_hi=x_hi,
+        dmin2=jnp.asarray(0.0, dtype),
+        obstacles=jnp.zeros((0, 3), dtype),
+        robot_radius=jnp.asarray(0.1, dtype),
+        obs_margin=jnp.asarray(0.05, dtype),
+        inv_dist_weight=jnp.asarray(0.0, dtype),
+        p_obs=jnp.zeros((0, 2), dtype),
+        mov_obs=jnp.zeros((N, 0, 2), dtype),
+        dyn_fn=f,
+        nx_gen=nx,
+        nu_gen=nu,
+        substeps=substeps,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dynamics
 # ---------------------------------------------------------------------------
 
 
+def _integrate_generic(f, x, u, dt, integrator: str, substeps: int):
+    """Fixed-step integration of a user RHS — the reference's hand-rolled RK4
+    chain with M sub-intervals (mpc_pose_control_casadi.py:43-59)."""
+    h = dt / substeps
+    for _ in range(substeps):
+        if integrator == "euler":
+            x = x + h * f(x, u)
+        elif integrator == "rk4":
+            k1 = f(x, u)
+            k2 = f(x + 0.5 * h * k1, u)
+            k3 = f(x + 0.5 * h * k2, u)
+            k4 = f(x + h * k3, u)
+            x = x + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        else:
+            raise ValueError(f"unknown integrator {integrator!r}")
+    return x
+
+
 def step_dynamics(ocp: OCP, x: jax.Array, u: jax.Array) -> jax.Array:
     """One discrete step of the (possibly LiDAR-augmented) model."""
+    if ocp.dyn_fn is not None:
+        return _integrate_generic(
+            ocp.dyn_fn, x, u, ocp.T, ocp.integrator, ocp.substeps
+        )
     if ocp.num_rays == 0:
         return discrete_dynamics(x, u, ocp.T, ocp.integrator)
     # Augmented model (v4 semantics, obs_avoid_static_first_scenario_v4.py:128-133):
@@ -320,7 +442,8 @@ def stage_constraints(ocp: OCP, x: jax.Array, u: jax.Array, mov_k: jax.Array | N
     parts = []
     if ocp.n_pairs:
         parts.append(pairwise_sq_distances(ocp, x) - ocp.dmin2)
-    pos = x[: 3 * ocp.m].reshape(ocp.m, 3)[:, :2]  # [m, 2]
+    if ocp.n_obs or ocp.n_mov:
+        pos = x[: 3 * ocp.m].reshape(ocp.m, 3)[:, :2]  # [m, 2]
     if ocp.n_obs:
         delta = pos[:, None, :] - ocp.obstacles[None, :, :2]  # [m, n_obs, 2]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12))

@@ -45,8 +45,13 @@ def _make_expansion_kernel(ocp: OCP, P, n_stages, stage_offset=0):
     N, n, mc, nrob = n_stages, ocp.nx, ocp.nu, ocp.m
     pairs = list(zip(*pair_indices(nrob))) if ocp.n_pairs else []
 
-    def kernel(prm, X_ref, U_ref, xref_ref, lam_ref, mu_ref,
-               A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref):
+    def kernel(prm, X_ref, U_ref, xref_ref, lam_ref, mu_ref, *rest):
+        if ocp.n_mov:
+            mov_ref = rest[0]
+            rest = rest[1:]
+        else:
+            mov_ref = None
+        A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref = rest
         dt = prm[0, P.dt]
         mu = mu_ref[0]           # [1, T]
 
@@ -114,6 +119,25 @@ def _make_expansion_kernel(ocp: OCP, P, n_stages, stage_offset=0):
                     obs_data.append((i, ux, uy, w))
                     row += 1
 
+            # moving-obstacle rows: c = d2 - dmin2, J = 2(p_i - mov) on the
+            # robot side only (the obstacle path is data, not a decision)
+            mov_data = []
+            if ocp.n_mov:
+                mov_k = mov_ref[0, k]  # [2*n_mov, T]
+                for i in range(nrob):
+                    for o in range(ocp.n_mov):
+                        dx = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
+                        dy = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
+                        c_row = dx * dx + dy * dy - prm[0, P.dmin2]
+                        act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+                        act = jnp.where(k + stage_offset == 0, 0.0, act)
+                        w = mu * (act > 0.0).astype(act.dtype)
+                        gx, gy = 2.0 * dx, 2.0 * dy
+                        lx_rows[3 * i] = lx_rows[3 * i] - gx * act
+                        lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gy * act
+                        mov_data.append((i, gx, gy, w))
+                        row += 1
+
             du_diag = []
             for i in range(mc):
                 a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
@@ -165,6 +189,12 @@ def _make_expansion_kernel(ocp: OCP, P, n_stages, stage_offset=0):
                 add(yi, yi, w * uy * uy)
                 add(xi, yi, w * ux * uy)
                 add(yi, xi, w * ux * uy)
+            for (i, gx, gy, w) in mov_data:
+                xi, yi = 3 * i, 3 * i + 1
+                add(xi, xi, w * gx * gx)
+                add(yi, yi, w * gy * gy)
+                add(xi, yi, w * gx * gy)
+                add(yi, xi, w * gx * gy)
             lxx_ref[0, k] = _dense(He, n, n, zero)
 
             Ue = {}
@@ -179,11 +209,13 @@ def _make_expansion_kernel(ocp: OCP, P, n_stages, stage_offset=0):
     return kernel
 
 
-def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, interpret=None):
+def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, mov_l=None,
+                     interpret=None):
     """Lane-major fused expansions.
 
     X_l [tiles,N,n,L] (stage states 0..N-1), U_l [tiles,N,mc,L],
-    xref_l [tiles,N,n,L], lam_l [tiles,N,nc,L], mu_l [tiles,1,L]
+    xref_l [tiles,N,n,L], lam_l [tiles,N,nc,L], mu_l [tiles,1,L],
+    mov_l [tiles,N,2*n_mov,L] when ocp.n_mov > 0
     -> (A, B, lx, lu, lxx, luu, lux) lane-major [tiles, N, ..., L]
     with lx [.., n, 1, L], lu [.., mc, 1, L].
     """
@@ -213,12 +245,17 @@ def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, interpret=None):
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
         nstg = e - s
+        ins = [prm, X_l[:, s:e], U_l[:, s:e], xref_l[:, s:e], lam_l[:, s:e], mu_l]
+        in_specs = [sm, vs(nstg, n), vs(nstg, mc), vs(nstg, n), vs(nstg, nc),
+                    pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        if ocp.n_mov:
+            ins.append(mov_l[:, s:e])
+            in_specs.append(vs(nstg, 2 * ocp.n_mov))
         outs = pl.pallas_call(
             _make_expansion_kernel(ocp, P, nstg, stage_offset=s),
             grid=(tiles,),
-            in_specs=[sm, vs(nstg, n), vs(nstg, mc), vs(nstg, n), vs(nstg, nc),
-                      pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=(vs(nstg, n, n), vs(nstg, n, mc), vs(nstg, n, 1),
                        vs(nstg, mc, 1), vs(nstg, n, n), vs(nstg, mc, mc),
                        vs(nstg, mc, n)),
@@ -232,7 +269,7 @@ def expansions_fused(ocp: OCP, X_l, U_l, xref_l, lam_l, mu_l, interpret=None):
                 jax.ShapeDtypeStruct((tiles, nstg, mc, n, LANES), dtype),
             ),
             interpret=interpret,
-        )(prm, X_l[:, s:e], U_l[:, s:e], xref_l[:, s:e], lam_l[:, s:e], mu_l)
+        )(*ins)
         parts.append(outs)
     if len(parts) == 1:
         return parts[0]

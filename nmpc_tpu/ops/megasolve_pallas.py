@@ -58,7 +58,8 @@ def mega_fits(ocp: OCP) -> bool:
     N, n, mc, nc = ocp.N, ocp.nx, ocp.nu, ocp.n_con
     f = 4  # f32
     scratch = (N * (n + mc + mc + mc * n) + n + n * n) * LANES * f
-    blocks_in = (n + N * n + N * nc + 1 + N * mc) * LANES * f
+    blocks_in = (n + N * n + N * nc + 1 + N * mc
+                 + N * 2 * ocp.n_mov) * LANES * f
     blocks_out = (N * mc + N * n + 2) * LANES * f
     # register-spill stack of the backward-sweep body: the structured sweep
     # keeps VA/Qxx/lxx dense [n,n,T] plus the B-contraction temporaries
@@ -68,7 +69,7 @@ def mega_fits(ocp: OCP) -> bool:
     return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
 
-def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
+def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None):
     """Stage expansion in registers (same math as expansions_pallas).
 
     The unicycle Jacobians are never materialized dense: A = I + E with
@@ -136,6 +137,22 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
             lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uy * act
             obs_data.append((i, ux, uy, w))
             row += 1
+    # moving-obstacle rows (decentralized neighbor plans): c = d2 - dmin2,
+    # gradient only on the robot side — same shape as a one-sided pair row
+    mov_data = []
+    for i in range(nrob):
+        for o in range(ocp.n_mov):
+            dxm = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
+            dym = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
+            c_row = dxm * dxm + dym * dym - prm[0, P.dmin2]
+            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+            act = jnp.where(k == 0, 0.0, act)
+            w = mu * (act > 0.0).astype(act.dtype)
+            gx, gy = 2.0 * dxm, 2.0 * dym
+            lx_rows[3 * i] = lx_rows[3 * i] - gx * act
+            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gy * act
+            mov_data.append((i, gx, gy, w))
+            row += 1
 
     du_diag = []
     for i in range(mc):
@@ -187,6 +204,12 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu):
         add(yi, yi, w * uy * uy)
         add(xi, yi, w * ux * uy)
         add(yi, xi, w * ux * uy)
+    for (i, gx, gy, w) in mov_data:
+        xi, yi = 3 * i, 3 * i + 1
+        add(xi, xi, w * gx * gx)
+        add(yi, yi, w * gy * gy)
+        add(xi, yi, w * gx * gy)
+        add(yi, xi, w * gx * gy)
     lxx = dense(He, n, n)
 
     Ue = {}
@@ -201,9 +224,18 @@ def _make_megakernel(ocp: OCP, P, cfg):
     reg = cfg.reg
     alphas = tuple(cfg.alphas)
 
-    def kernel(prm, x0_ref, xref_ref, lam_ref, mu_ref, Uin_ref,
-               Uout_ref, Xout_ref, cost_ref, iters_ref,
-               X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s):
+    def kernel(prm, x0_ref, xref_ref, lam_ref, mu_ref, Uin_ref, *rest):
+        if ocp.n_mov:
+            mov_ref = rest[0]
+            rest = rest[1:]
+        else:
+            mov_ref = None
+        (Uout_ref, Xout_ref, cost_ref, iters_ref,
+         X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s) = rest
+
+        def mov_at(k):
+            return None if mov_ref is None else mov_ref[0, k]
+
         mu = mu_ref[0]                     # [1, T]
         x0 = x0_ref[0, 0]                  # [n, T]
         iters_ref[0] = jnp.zeros_like(mu)
@@ -215,7 +247,8 @@ def _make_megakernel(ocp: OCP, P, cfg):
             U_s[k] = u
             X_s[k] = x
             cost = cost + _stage_merit(ocp, P, prm, k, x, u,
-                                       xref_ref[0, k], lam_ref[0, k], mu)
+                                       xref_ref[0, k], lam_ref[0, k], mu,
+                                       mov_at(k))
             return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
 
         _, cost0 = jax.lax.fori_loop(0, N, init_roll,
@@ -244,7 +277,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
                 k = N - 1 - t
                 e1, e2, bc, bs, lx, lu, lxx, luu = _expansion_regs(
                     ocp, P, prm, k, X_s[k], U_s[k], xref_ref[0, k],
-                    lam_ref[0, k], mu)
+                    lam_ref[0, k], mu, mov_at(k))
                 dt = prm[0, P.dt]
                 nrob = ocp.m
                 Vx = Vx_s[...]             # [n, 1, T]
@@ -316,7 +349,8 @@ def _make_megakernel(ocp: OCP, P, cfg):
                     u = _feedback_u(n, x, X_s[k], U_s[k], kff_s[k],
                                     Kfb_s[k], alpha)
                     cost = cost + _stage_merit(ocp, P, prm, k, x, u,
-                                               xref_ref[0, k], lam_ref[0, k], mu)
+                                               xref_ref[0, k], lam_ref[0, k],
+                                               mu, mov_at(k))
                     return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
 
                 _, c = jax.lax.fori_loop(0, N, roll, (x0, jnp.zeros_like(mu)))
@@ -376,7 +410,11 @@ def _make_al_update_kernel(ocp: OCP, P, lam_max: float, big: float):
     substituting c = BIG, exactly like masked_trajectory_constraints."""
     N, n, mc, nrob = ocp.N, ocp.nx, ocp.nu, ocp.m
 
-    def kernel(prm, Xs_ref, U_ref, lam_ref, mu_ref, lam_out, viol_ref):
+    def kernel(prm, Xs_ref, U_ref, lam_ref, mu_ref, *rest):
+        if ocp.n_mov:
+            mov_ref, lam_out, viol_ref = rest
+        else:
+            mov_ref, (lam_out, viol_ref) = None, rest
         mu = mu_ref[0]                                   # [1, T]
 
         def stage(k, cmin):
@@ -396,6 +434,13 @@ def _make_al_update_kernel(ocp: OCP, P, lam_max: float, big: float):
                     dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
                     dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
                     c = dist - prm[0, P.obs + 3 * o + 2]
+                    rows.append(jnp.where(k == 0, big, c))
+            for i in range(nrob):
+                for o in range(ocp.n_mov):
+                    mov_k = mov_ref[0, k]
+                    dx = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
+                    dy = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
+                    c = dx * dx + dy * dy - prm[0, P.dmin2]
                     rows.append(jnp.where(k == 0, big, c))
             for i in range(mc):
                 rows.append(u[i : i + 1] - prm[0, P.u_lo + i])
@@ -419,7 +464,7 @@ def _make_al_update_kernel(ocp: OCP, P, lam_max: float, big: float):
 
 
 def al_update_lanes(ocp: OCP, Xs_l, U_l, lam_l, mu_l, lam_max: float,
-                    interpret=None):
+                    mov_l=None, interpret=None):
     """Lane-major AL outer update: (lam_new_l [t,N,nc,L], viol_l [t,1,L])."""
     from nmpc_tpu.ocp.problem import BIG
 
@@ -440,26 +485,32 @@ def al_update_lanes(ocp: OCP, Xs_l, U_l, lam_l, mu_l, lam_max: float,
     lane = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    ins = [prm, Xs_l, U_l, lam_l, mu_l]
+    in_specs = [sm, vs(N, n), vs(N, mc), vs(N, ocp.n_con), lane]
+    if ocp.n_mov:
+        ins.append(mov_l)
+        in_specs.append(vs(N, 2 * ocp.n_mov))
     lam_new, viol = pl.pallas_call(
         _make_al_update_kernel(ocp, P, lam_max, BIG),
         grid=(tiles,),
-        in_specs=[sm, vs(N, n), vs(N, mc), vs(N, ocp.n_con), lane],
+        in_specs=in_specs,
         out_specs=(vs(N, ocp.n_con), lane),
         out_shape=(
             jax.ShapeDtypeStruct((tiles, N, ocp.n_con, LANES), dtype),
             jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
         ),
         interpret=interpret,
-    )(prm, Xs_l, U_l, lam_l, mu_l)
+    )(*ins)
     return lam_new, viol
 
 
 def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
-                      interpret=None):
+                      mov_l=None, interpret=None):
     """One fused inner iLQR solve (n_inner iterations) per batch tile.
 
     x0_l [t,1,n,L], xref_l [t,N,n,L], lam_l [t,N,nc,L], mu_l [t,1,L],
-    U_l [t,N,m,L] -> (Xs_l [t,N,n,L] stage states, U_l [t,N,m,L],
+    U_l [t,N,m,L], mov_l [t,N,2*n_mov,L] when ocp.n_mov > 0
+    -> (Xs_l [t,N,n,L] stage states, U_l [t,N,m,L],
     cost [t,1,L], iters [t,1,L])."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -478,10 +529,15 @@ def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
     lane = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sm = pl.BlockSpec((1, P.size), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    ins = [prm, x0_l, xref_l, lam_l, mu_l, U_l]
+    in_specs = [sm, vs(1, n), vs(N, n), vs(N, ocp.n_con), lane, vs(N, mc)]
+    if ocp.n_mov:
+        ins.append(mov_l)
+        in_specs.append(vs(N, 2 * ocp.n_mov))
     U_out, Xs_l, cost, iters = pl.pallas_call(
         _make_megakernel(ocp, P, cfg),
         grid=(tiles,),
-        in_specs=[sm, vs(1, n), vs(N, n), vs(N, ocp.n_con), lane, vs(N, mc)],
+        in_specs=in_specs,
         out_specs=(vs(N, mc), vs(N, n), lane, lane),
         out_shape=(
             jax.ShapeDtypeStruct((tiles, N, mc, LANES), dtype),
@@ -500,5 +556,5 @@ def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
             pltpu.VMEM((1, LANES), dtype),           # per-lane done flags
         ],
         interpret=interpret,
-    )(prm, x0_l, xref_l, lam_l, mu_l, U_l)
+    )(*ins)
     return Xs_l, U_out, cost, iters

@@ -34,12 +34,14 @@ LANES = 128
 
 def supports(ocp: OCP) -> bool:
     """Problem class the fused kernels cover: stacked-unicycle Euler with
-    pair / static-obstacle / box rows (moving obstacles and LiDAR rays fall
-    back to the XLA path)."""
+    pair / static-obstacle / moving-obstacle / box rows (LiDAR rays and
+    user-supplied dynamics fall back to the XLA path). Moving-obstacle rows
+    (time-indexed keep-out discs — the decentralized mode's neighbor plans,
+    SURVEY.md §2.4) enter the kernels as a per-stage VMEM input."""
     return (
         ocp.num_rays == 0
-        and ocp.n_mov == 0
         and ocp.integrator == "euler"
+        and ocp.dyn_fn is None
     )
 
 
@@ -94,8 +96,11 @@ def _euler_rows(nrob, x, u, dt):
     return jnp.concatenate(rows, axis=0)
 
 
-def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu):
-    """Lane-major AL merit contribution of one stage."""
+def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu, mov_k=None):
+    """Lane-major AL merit contribution of one stage.
+
+    mov_k: [2*n_mov, T] this stage's moving-obstacle positions (x0, y0, x1,
+    y1, ...) when ocp.n_mov > 0."""
     n, mc, nrob = ocp.nx, ocp.nu, ocp.m
     cost = jnp.zeros_like(x[0:1])
     dxr = x - xref_k
@@ -127,6 +132,13 @@ def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu):
             dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
             pen = pen + phr(dist - prm[0, P.obs + 3 * o + 2], row, True)
             row += 1
+    for i in range(nrob):     # moving-obstacle rows: d2 - dmin2 >= 0
+        for o in range(ocp.n_mov):
+            dx = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
+            dy = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
+            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
+            pen = pen + phr(c_row, row, True)
+            row += 1
     for i in range(mc):
         pen = pen + phr(u[i : i + 1] - prm[0, P.u_lo + i], row, False)
         row += 1
@@ -146,7 +158,11 @@ def _make_cost_kernel(ocp: OCP, P):
     N, n = ocp.N, ocp.nx
 
     def kernel(prm, x0_ref, X_ref, U_ref, kff_ref, Kfb_ref, xref_ref, lam_ref,
-               mu_ref, cost_ref, x_s):
+               mu_ref, *rest):
+        if ocp.n_mov:
+            mov_ref, cost_ref, x_s = rest
+        else:
+            mov_ref, (cost_ref, x_s) = None, rest
         a = pl.program_id(1)
         alpha = prm[0, P.alphas + a]
         dt = prm[0, P.dt]
@@ -157,8 +173,9 @@ def _make_cost_kernel(ocp: OCP, P):
             x = x_s[...]
             u = _feedback_u(n, x, X_ref[0, k], U_ref[0, k],
                             kff_ref[0, k], Kfb_ref[0, k], alpha)
+            mov_k = None if mov_ref is None else mov_ref[0, k]
             merit = _stage_merit(ocp, P, prm, k, x, u, xref_ref[0, k],
-                                 lam_ref[0, k], mu)
+                                 lam_ref[0, k], mu, mov_k)
             x_s[...] = _euler_rows(ocp.m, x, u, dt)
             return acc + merit
 
@@ -205,11 +222,12 @@ def _from_lane(x, Bt):
 
 
 def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
-                           lam_l, mu_l, alphas, interpret=None):
+                           lam_l, mu_l, alphas, mov_l=None, interpret=None):
     """Lane-major fused line search. Inputs [tiles, ..., LANES]:
     x0_l [t,1,n,L], X_l [t,N,n,L] (stage states), U_l [t,N,m,L],
     kff_l [t,N,m,1,L], Kfb_l [t,N,m,n,L], xref_l [t,N,n,L],
-    lam_l [t,N,nc,L], mu_l [t,1,L]. Returns costs [n_alphas, tiles*LANES]."""
+    lam_l [t,N,nc,L], mu_l [t,1,L], mov_l [t,N,2*n_mov,L] when n_mov > 0.
+    Returns costs [n_alphas, tiles*LANES]."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tiles = x0_l.shape[0]
@@ -219,7 +237,7 @@ def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
     dtype = x0_l.dtype
     P = _P(n, mc, A, ocp.n_obs)
     prm = _pack_params(ocp, alphas)
-    ins = (prm, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l)
+    ins = [prm, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l]
 
     def vs(*dims):
         nd = len(dims)
@@ -228,14 +246,18 @@ def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
                             memory_space=pltpu.VMEM)
 
     sm = pl.BlockSpec((1, P.size), lambda i, a: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        sm, vs(1, n), vs(N, n), vs(N, mc), vs(N, mc, 1), vs(N, mc, n),
+        vs(N, n), vs(N, ocp.n_con),
+        pl.BlockSpec((1, 1, LANES), lambda i, a: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if ocp.n_mov:
+        ins.append(mov_l)
+        in_specs.append(vs(N, 2 * ocp.n_mov))
     costs = pl.pallas_call(
         _make_cost_kernel(ocp, P),
         grid=(tiles, A),
-        in_specs=[
-            sm, vs(1, n), vs(N, n), vs(N, mc), vs(N, mc, 1), vs(N, mc, n),
-            vs(N, n), vs(N, ocp.n_con),
-            pl.BlockSpec((1, 1, LANES), lambda i, a: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, LANES), lambda i, a: (i, a, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tiles, A, 1, LANES), dtype),
@@ -246,12 +268,16 @@ def linesearch_costs_lanes(ocp: OCP, x0_l, X_l, U_l, kff_l, Kfb_l, xref_l,
 
 
 def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
-                     interpret=None):
+                     mov=None, interpret=None):
     """AL merit for every alpha: returns costs [n_alphas, Bt].
-    Standard-layout wrapper of linesearch_costs_lanes."""
+    Standard-layout wrapper of linesearch_costs_lanes. mov: [Bt, N, n_mov, 2]
+    per-element moving-obstacle plans when ocp.n_mov > 0."""
     Bt = x0.shape[0]
     assert Bt % LANES == 0
     tiles = Bt // LANES
+    N = ocp.N
+    mov_l = (None if mov is None
+             else _to_lane(mov.reshape(Bt, N, 2 * ocp.n_mov), tiles))
     return linesearch_costs_lanes(
         ocp,
         _to_lane(x0[:, None], tiles),
@@ -263,6 +289,7 @@ def linesearch_costs(ocp: OCP, x0, X, U, kff, Kfb, xref, lam, mu, alphas,
         _to_lane(lam, tiles),
         _to_lane(mu[:, None], tiles),
         alphas,
+        mov_l,
         interpret,
     )
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from nmpc_tpu.ocp.problem import OCP
+from nmpc_tpu.ocp.problem import OCP, OCP_META
 from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
 
 # leaves that vary per scenario (everything else stays replicated)
@@ -50,8 +50,7 @@ def batched_solve(ocp_batch: OCP, cfg: ALILQRConfig = ALILQRConfig(), warm=None)
         **{
             f.name: None
             for f in dataclasses.fields(ocp_batch)
-            if f.name not in _BATCH_FIELDS
-            and f.name not in ("m", "N", "n_obs", "num_rays", "integrator", "collision", "n_mov")
+            if f.name not in _BATCH_FIELDS and f.name not in OCP_META
         },
     )
     fn = functools.partial(solve, cfg=cfg)

@@ -67,6 +67,7 @@ def decentralized_step(
     warms: WarmStart,        # batched over robots
     cfg: ALILQRConfig = ALILQRConfig(),
     rh_bias: float = 0.03,
+    engine: str = "fused",
 ):
     """One synchronous decentralized round: solve all robots' subproblems
     against the exchanged plans. Returns (results, u_joint [2m], new plans).
@@ -76,7 +77,12 @@ def decentralized_step(
     resolve with both parties passing on the right — a deterministic
     tie-break for the exactly-symmetric standoffs that make plain reciprocal
     avoidance deadlock (the decentralized analog of the reference's reliance
-    on asymmetric numerics)."""
+    on asymmetric numerics).
+
+    engine: 'fused' routes the per-robot subproblems through the batch-native
+    Pallas megakernel (robots on the lane axis, neighbor plans as per-element
+    moving-obstacle VMEM inputs); 'xla' vmaps the per-scenario solver —
+    ~35x slower on TPU (STATUS.md), kept for verification."""
     m = plans.shape[0]
     N = template.N
     nbr = _neighbor_index(m)
@@ -92,16 +98,29 @@ def decentralized_step(
         left = jnp.stack([-rel[..., 1], rel[..., 0]], axis=-1) / nrm
         mov = mov + rh_bias * left
 
-    def solve_i(x0_i, goal_i, mov_i, warm_i):
-        ocp_i = dataclasses.replace(
-            template,
-            x0=x0_i,
-            xref=jnp.tile(goal_i[None, :], (N, 1)),
-            mov_obs=mov_i,
-        )
-        return solve(ocp_i, warm_i, cfg)
+    from nmpc_tpu.ops.rollout_pallas import supports
 
-    res = jax.vmap(solve_i)(poses, goals, mov, warms)
+    if engine == "fused" and supports(template):
+        from nmpc_tpu.solver.alilqr_batched import solve_batched
+
+        ocp_b = dataclasses.replace(
+            template,
+            x0=poses,
+            xref=jnp.tile(goals[:, None, :], (1, N, 1)),
+            mov_obs=mov,
+        )
+        res = solve_batched(ocp_b, warms, cfg)
+    else:
+        def solve_i(x0_i, goal_i, mov_i, warm_i):
+            ocp_i = dataclasses.replace(
+                template,
+                x0=x0_i,
+                xref=jnp.tile(goal_i[None, :], (N, 1)),
+                mov_obs=mov_i,
+            )
+            return solve(ocp_i, warm_i, cfg)
+
+        res = jax.vmap(solve_i)(poses, goals, mov, warms)
     u_joint = res.U[:, 0, :].reshape(2 * m)
     plans_new = res.X[:, :, :2]
     return res, u_joint, plans_new
@@ -121,6 +140,7 @@ def decentralized_closed_loop(
     omega_max: float = 2.84,
     rh_bias: float = 0.1,
     escape: bool = True,
+    engine: str = "fused",
 ):
     """Closed loop in decentralized mode (single-program vmap form).
 
@@ -142,7 +162,8 @@ def decentralized_closed_loop(
         err = jnp.linalg.norm(x - goal_joint)
         done = done | (err <= stop_tol)
         res, u_joint, plans_new = decentralized_step(
-            template, x, goals, plans, warms, cfg, rh_bias=rh_bias
+            template, x, goals, plans, warms, cfg, rh_bias=rh_bias,
+            engine=engine,
         )
         if escape:
             from nmpc_tpu.mpc.driver import MPCConfig, _escape_control

@@ -109,8 +109,9 @@ def cold_start(ocp: OCP, cfg: ALILQRConfig = ALILQRConfig()) -> WarmStart:
 
 
 def _stage_jacobians(ocp: OCP, x, u):
-    """(A, B) of the discrete step; analytic for the plain Euler model."""
-    if ocp.integrator == "euler" and ocp.num_rays == 0:
+    """(A, B) of the discrete step; analytic for the plain Euler model,
+    jacfwd for LiDAR-augmented and user-supplied (dyn_fn) models."""
+    if ocp.integrator == "euler" and ocp.num_rays == 0 and ocp.dyn_fn is None:
         return euler_jacobians(x, u, ocp.T)
     F = lambda xx, uu: P.step_dynamics(ocp, xx, uu)
     return jax.jacfwd(F, argnums=0)(x, u), jax.jacfwd(F, argnums=1)(x, u)
@@ -136,7 +137,7 @@ def _stage_expansion(ocp: OCP, x, u, xref_k, lam_k, mov_k, mu):
 
     # PHR penalty: grad = -J' act, GN hess = mu J' 1[active] J
     c = P.stage_constraints(ocp, x, u, mov_k)
-    if ocp.num_rays == 0:
+    if ocp.num_rays == 0 and ocp.dyn_fn is None:
         from nmpc_tpu.ocp.jacobians import stage_constraint_jacobians
 
         Jx, Ju = stage_constraint_jacobians(ocp, x, mov_k)

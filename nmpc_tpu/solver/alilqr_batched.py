@@ -34,16 +34,24 @@ from nmpc_tpu.ops import rollout_pallas
 from nmpc_tpu.ops.expansions_pallas import expansions_fused
 from nmpc_tpu.ops.megasolve_pallas import inner_solve_fused
 
-_BATCH_FIELDS = ("x0", "xref")
+_META = P.OCP_META
 
 
-_META = ("m", "N", "n_obs", "num_rays", "integrator", "collision", "n_mov")
+def _batch_fields(ocp_b: OCP):
+    """Leaves carrying a leading batch axis: x0/xref always; mov_obs when a
+    per-element moving-obstacle schedule is supplied ([B, N, n_mov, 2] — the
+    decentralized mode's per-robot neighbor plans)."""
+    bf = ["x0", "xref"]
+    if ocp_b.n_mov and ocp_b.mov_obs.ndim == 4:
+        bf.append("mov_obs")
+    return tuple(bf)
 
 
 def _vm(fn, ocp_b: OCP, *batched):
     """vmap a per-scenario fn over the batch leaves of the OCP."""
+    bf = _batch_fields(ocp_b)
     updates = {
-        f.name: (0 if f.name in _BATCH_FIELDS else None)
+        f.name: (0 if f.name in bf else None)
         for f in dataclasses.fields(ocp_b)
         if f.name not in _META
     }
@@ -86,6 +94,17 @@ def _forward_b(ocp_b: OCP, X, U, kff, Kfb, alpha):
     return _vm(one, ocp_b, X, U, kff, Kfb, alpha)
 
 
+def _mov_lanes(ocp_b: OCP, Bt: int, tiles: int):
+    """Lane-major moving-obstacle schedule [t, N, 2*n_mov, L] (None if none).
+    An unbatched schedule (shared across elements) is broadcast."""
+    if not ocp_b.n_mov:
+        return None
+    mov = ocp_b.mov_obs
+    if mov.ndim == 3:
+        mov = jnp.broadcast_to(mov[None], (Bt, *mov.shape))
+    return _to_lane(mov.reshape(Bt, ocp_b.N, 2 * ocp_b.n_mov), tiles)
+
+
 def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> SolveResult:
     """Fully lane-major solve loop: every per-iteration stage (expansions,
     Riccati sweep, line search, accepted rollout) is a fused Pallas kernel on
@@ -98,6 +117,7 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
     alphas = jnp.asarray(cfg.alphas, dtype)
     ls_alphas = (0.0,) + tuple(cfg.alphas)
 
+    mov_l = _mov_lanes(ocp_b, Bt, tiles)
     x0_l = _to_lane(ocp_b.x0[:, None], tiles)        # [t, 1, n, L]
     xref_l = _to_lane(ocp_b.xref, tiles)             # [t, N, n, L]
     U_l = _to_lane(U, tiles)
@@ -117,17 +137,19 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
 
     def inner(Xtail_l, U_l, lam_l, mu_l):
         def cond(c):
-            _, _, _, it, done = c
+            _, _, _, it, _, done = c
             return (it < cfg.n_inner) & (~jnp.all(done))
 
         def body(c):
-            Xtail_l, U_l, cost, it, done = c
+            Xtail_l, U_l, cost, it, it_vec, done = c
+            it_vec = it_vec + (~done).astype(jnp.int32)
             Xs_l = stages(Xtail_l)
-            exp = expansions_fused(ocp_b, Xs_l, U_l, xref_l, lam_l, mu_l)
+            exp = expansions_fused(ocp_b, Xs_l, U_l, xref_l, lam_l, mu_l, mov_l)
             kff_l, Kfb_l, dV1_c = riccati_lanes(exp, N, n, mc, cfg.reg)
             dV1 = lane_vec(dV1_c)
             costs_all = rollout_pallas.linesearch_costs_lanes(
-                ocp_b, x0_l, Xs_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l, ls_alphas
+                ocp_b, x0_l, Xs_l, U_l, kff_l, Kfb_l, xref_l, lam_l, mu_l,
+                ls_alphas, mov_l
             )
             cost_cur, costs = costs_all[0], costs_all[1:]
             expected = cfg.armijo * alphas[:, None] * jnp.maximum(-dV1, 0.0)[None, :]
@@ -145,14 +167,14 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
             costn = jnp.where(upd, costn, cost_cur)
             rel = (cost_cur - costn) / (1.0 + jnp.abs(cost_cur))
             done = done | (~okb) | (rel < cfg.tol_cost)
-            return (Xtail_n, U_n, costn, it + 1, done)
+            return (Xtail_n, U_n, costn, it + 1, it_vec, done)
 
-        Xtail_l, U_l, cost, it, _ = jax.lax.while_loop(
+        Xtail_l, U_l, cost, it, it_vec, _ = jax.lax.while_loop(
             cond, body,
             (Xtail_l, U_l, jnp.zeros((Bt,), dtype), jnp.zeros((), jnp.int32),
-             jnp.zeros((Bt,), bool)),
+             jnp.zeros((Bt,), jnp.int32), jnp.zeros((Bt,), bool)),
         )
-        return Xtail_l, U_l, it
+        return Xtail_l, U_l, it_vec
 
     def constraints_std(Xtail_l, U_l):
         Xs = _from_lane(stages(Xtail_l), Bt)           # [Bt, N, n]
@@ -162,11 +184,12 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
                           ocp_b, X_full, U)
 
     def outer_cond(c):
-        _, _, _, _, it, _, done = c
+        _, _, _, _, it, _, _, done = c
         return (it < cfg.n_outer) & (~jnp.all(done))
 
     def outer_body(c):
-        Xtail_l, U_l, lam, mu, it, inner_tot, done = c
+        Xtail_l, U_l, lam, mu, it, inner_tot, outer_vec, done = c
+        outer_vec = outer_vec + (~done).astype(jnp.int32)
         lam_l = _to_lane(lam, tiles)
         mu_l = _to_lane(mu[:, None], tiles)
         Xtail_l, U_l, iters = inner(Xtail_l, U_l, lam_l, mu_l)
@@ -179,12 +202,13 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
         lam = jnp.where(done[:, None, None], lam, lam_new)
         mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
         done = done | newly
-        return (Xtail_l, U_l, lam, mu, it + 1, inner_tot + iters, done)
+        return (Xtail_l, U_l, lam, mu, it + 1, inner_tot + iters, outer_vec, done)
 
     zero = jnp.zeros((), jnp.int32)
-    Xtail_l, U_l, lam, mu, outer, inner_tot, done = jax.lax.while_loop(
+    zero_vec = jnp.zeros((Bt,), jnp.int32)
+    Xtail_l, U_l, lam, mu, _, inner_tot, outer_vec, done = jax.lax.while_loop(
         outer_cond, outer_body,
-        (Xtail_l, U_l, lam, mu, zero, zero, jnp.zeros((Bt,), bool)),
+        (Xtail_l, U_l, lam, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
     )
 
     Xs, U, cmask = constraints_std(Xtail_l, U_l)
@@ -195,8 +219,8 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
         cost=trim(cost), viol=trim(viol),
-        inner_iters=jnp.broadcast_to(inner_tot, (B,)),
-        outer_iters=jnp.broadcast_to(outer, (B,)),
+        inner_iters=trim(inner_tot),
+        outer_iters=trim(outer_vec),
         converged=trim(done),
     )
 
@@ -214,6 +238,7 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     dtype = ocp_b.x0.dtype
     tiles = Bt // LANES
 
+    mov_l = _mov_lanes(ocp_b, Bt, tiles)
     x0_l = _to_lane(ocp_b.x0[:, None], tiles)
     xref_l = _to_lane(ocp_b.xref, tiles)
     U_l = _to_lane(U, tiles)
@@ -231,18 +256,21 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
                           ocp_b, X_full, U)
 
     def outer_cond(c):
-        _, _, _, _, it, _, done = c
+        _, _, _, _, it, _, _, done = c
         return (it < cfg.n_outer) & (~jnp.all(done))
 
     def outer_body(c):
-        Xs_l, U_l, lam_l, mu, it, inner_tot, done = c
+        Xs_l, U_l, lam_l, mu, it, inner_tot, outer_vec, done = c
+        outer_vec = outer_vec + (~done).astype(jnp.int32)
         mu_l = _to_lane(mu[:, None], tiles)
         Xs_l, U_l, _, iters_l = inner_solve_fused(
-            ocp_b, x0_l, xref_l, lam_l, mu_l, U_l, cfg
+            ocp_b, x0_l, xref_l, lam_l, mu_l, U_l, cfg, mov_l
         )
-        iters = jnp.max(lane_vec(iters_l)).astype(jnp.int32)
+        # per-element inner-iteration counts (the megakernel counts per lane;
+        # already-converged elements re-run a no-op pass — don't count it)
+        iters = jnp.where(done, 0, lane_vec(iters_l).astype(jnp.int32))
         lam_new_l, viol_l = al_update_lanes(
-            ocp_b, Xs_l, U_l, lam_l, mu_l, cfg.lam_max
+            ocp_b, Xs_l, U_l, lam_l, mu_l, cfg.lam_max, mov_l
         )
         viol = lane_vec(viol_l)
         newly = viol < cfg.tol_con
@@ -250,12 +278,13 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
         lam_l = jnp.where(done_l > 0.5, lam_l, lam_new_l)
         mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
         done = done | newly
-        return (Xs_l, U_l, lam_l, mu, it + 1, inner_tot + iters, done)
+        return (Xs_l, U_l, lam_l, mu, it + 1, inner_tot + iters, outer_vec, done)
 
     zero = jnp.zeros((), jnp.int32)
-    Xs_l, U_l, lam_l, mu, outer, inner_tot, done = jax.lax.while_loop(
+    zero_vec = jnp.zeros((Bt,), jnp.int32)
+    Xs_l, U_l, lam_l, mu, _, inner_tot, outer_vec, done = jax.lax.while_loop(
         outer_cond, outer_body,
-        (Xs_l, U_l, lam_l, mu, zero, zero, jnp.zeros((Bt,), bool)),
+        (Xs_l, U_l, lam_l, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
     )
 
     lam = _from_lane(lam_l, Bt)
@@ -272,8 +301,8 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
         cost=trim(cost), viol=trim(viol),
-        inner_iters=jnp.broadcast_to(inner_tot, (B,)),
-        outer_iters=jnp.broadcast_to(outer, (B,)),
+        inner_iters=trim(inner_tot),
+        outer_iters=trim(outer_vec),
         converged=trim(done),
     )
 
@@ -309,7 +338,9 @@ def solve_batched(
     pad = (-B) % LANES
     if pad:
         ext = lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)], 0)
-        ocp_b = dataclasses.replace(ocp_b, x0=ext(ocp_b.x0), xref=ext(ocp_b.xref))
+        ocp_b = dataclasses.replace(
+            ocp_b, **{f: ext(getattr(ocp_b, f)) for f in _batch_fields(ocp_b)}
+        )
         if warm is not None:
             warm = jax.tree.map(lambda a: ext(a), warm)
     Bt = B + pad
@@ -342,11 +373,12 @@ def solve_batched(
                  else _al_cost_b(ocp_b, X, U, lam, mu))
 
         def cond(c):
-            _, _, _, it, done = c
+            _, _, _, it, _, done = c
             return (it < cfg.n_inner) & (~jnp.all(done))
 
         def body(c):
-            X, U, cost, it, done = c
+            X, U, cost, it, it_vec, done = c
+            it_vec = it_vec + (~done).astype(jnp.int32)
             A, Bm, lx, lu, lxx, luu, lux = _expansions(ocp_b, X, U, lam, mu)
             kff, Kfb, dV1 = riccati_fused(A, Bm, lx, lu, lxx, luu, lux, reg=cfg.reg)
 
@@ -385,20 +417,22 @@ def solve_batched(
             costn = jnp.where(upd, costn, cost_cur)
             rel = (cost_cur - costn) / (1.0 + jnp.abs(cost_cur))
             done = done | (~okb) | (rel < cfg.tol_cost)
-            return (Xn, Un, costn, it + 1, done)
+            return (Xn, Un, costn, it + 1, it_vec, done)
 
-        X, U, cost, it, _ = jax.lax.while_loop(
+        X, U, cost, it, it_vec, _ = jax.lax.while_loop(
             cond, body,
-            (X, U, cost0, jnp.zeros((), jnp.int32), jnp.zeros((Bt,), bool)),
+            (X, U, cost0, jnp.zeros((), jnp.int32),
+             jnp.zeros((Bt,), jnp.int32), jnp.zeros((Bt,), bool)),
         )
-        return X, U, it
+        return X, U, it_vec
 
     def outer_cond(c):
-        _, _, _, _, it, _, done = c
+        _, _, _, _, it, _, _, done = c
         return (it < cfg.n_outer) & (~jnp.all(done))
 
     def outer_body(c):
-        X, U, lam, mu, it, inner_tot, done = c
+        X, U, lam, mu, it, inner_tot, outer_vec, done = c
+        outer_vec = outer_vec + (~done).astype(jnp.int32)
         X, U, iters = inner(X, U, lam, mu)
         cmask = _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u), ocp_b, X, U)
         viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
@@ -411,12 +445,13 @@ def solve_batched(
             done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max)
         )
         done = done | newly
-        return (X, U, lam, mu, it + 1, inner_tot + iters, done)
+        return (X, U, lam, mu, it + 1, inner_tot + iters, outer_vec, done)
 
     zero = jnp.zeros((), jnp.int32)
-    X, U, lam, mu, outer, inner_tot, done = jax.lax.while_loop(
+    zero_vec = jnp.zeros((Bt,), jnp.int32)
+    X, U, lam, mu, _, inner_tot, outer_vec, done = jax.lax.while_loop(
         outer_cond, outer_body,
-        (X, U, lam, mu, zero, zero, jnp.zeros((Bt,), bool)),
+        (X, U, lam, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
     )
 
     cmask = _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u), ocp_b, X, U)
@@ -426,7 +461,7 @@ def solve_batched(
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
         cost=trim(cost), viol=trim(viol),
-        inner_iters=jnp.broadcast_to(inner_tot, (B,)),
-        outer_iters=jnp.broadcast_to(outer, (B,)),
+        inner_iters=trim(inner_tot),
+        outer_iters=trim(outer_vec),
         converged=trim(done),
     )

@@ -45,24 +45,45 @@ def test_batch_padding_to_lane_tile():
     assert float(jnp.max(r.viol)) < 1e-3
 
 
-def test_batched_fallback_path_moving_obstacles():
-    """Problems outside the fused class (moving obstacles) use the XLA
-    line-search fallback inside solve_batched."""
+def test_batched_moving_obstacles_fused_path():
+    """Moving-obstacle rows ride the fused Pallas class (round-2 lift of the
+    n_mov gate — the decentralized subproblems are exactly the small-shape
+    solves the megakernel was built for). Fused results must match the
+    per-scenario XLA engine on a problem where the keep-out disc is ACTIVE
+    (obstacle parked between start and goal)."""
     from nmpc_tpu.ops.rollout_pallas import supports
     from nmpc_tpu.parallel.decentralized import robot_template
 
     tpl = robot_template(8, 0.1, 0.3, 3)  # n_mov = 2 slots
-    assert not supports(tpl)
+    assert supports(tpl)
     B = 3
     x0s = jnp.asarray([[-0.5, 0, 0], [-0.4, 0.2, 0], [-0.6, -0.2, 0]], jnp.float32)
     goals = jnp.tile(jnp.asarray([[0.6, 0.0, 0.0]], jnp.float32), (B, 1))
-    ob = batch_ocp(
-        dataclasses.replace(tpl, mov_obs=jnp.full((8, 2, 2), 5.0, jnp.float32)),
-        x0s, jnp.tile(goals[:, None, :], (1, 8, 1)),
+    # one obstacle blocking the straight line, one far away; per-element path
+    mov = jnp.tile(
+        jnp.asarray([[0.05, 0.02], [5.0, 5.0]], jnp.float32)[None, None],
+        (B, 8, 1, 1),
     )
-    r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
-    assert r.U.shape == (B, 8, 2)
-    assert float(jnp.max(r.viol)) < 1e-3
+    mov = mov + 0.01 * jax.random.normal(jax.random.PRNGKey(2), mov.shape)
+    ob = dataclasses.replace(
+        batch_ocp(tpl, x0s, jnp.tile(goals[:, None, :], (1, 8, 1))),
+        mov_obs=mov,
+    )
+    rb = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
+    assert rb.U.shape == (B, 8, 2)
+    rv = jax.jit(jax.vmap(
+        lambda x0, xref, mv: solve(
+            dataclasses.replace(tpl, x0=x0, xref=xref, mov_obs=mv), cfg=CFG
+        )
+    ))(ob.x0, ob.xref, mov)
+    np.testing.assert_allclose(np.array(rb.cost), np.array(rv.cost), rtol=5e-4)
+    np.testing.assert_allclose(np.array(rb.U), np.array(rv.U), atol=1e-2)
+    assert float(jnp.max(rb.viol)) < 1e-3
+    # the disc actually shaped the solution: realized clearance respects the
+    # keep-out radius at stages 1..N-1 even though the straight start->goal
+    # line passes within 0.05 of the disc center (dmin = 0.3)
+    d = jnp.sqrt(jnp.sum((rb.X[:, 1:-1, :2] - mov[:, 1:, 0, :]) ** 2, -1))
+    assert float(jnp.min(d)) > 0.3 - 1e-2
 
 
 def test_solve_one_matches_per_scenario_solve():
@@ -129,3 +150,48 @@ def test_mega_gate_admission_compiles_on_hardware():
         ob = batch_ocp(ocp, ocp.x0[None])
         res = jax.jit(functools.partial(solve_batched, cfg=cfg))(ob)
         assert np.isfinite(float(res.cost[0])), name
+
+
+def test_per_element_iteration_counts():
+    """Batched solvers report per-element solver effort (SURVEY.md §5.5
+    observability): an element warm-started at its own solution must record
+    strictly fewer inner iterations than a cold element in the same batch."""
+    from nmpc_tpu.solver.alilqr import WarmStart, cold_start
+
+    base = get("two_robot_swap").make(N=10)
+    B = 3
+    x0s = base.x0[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (B, base.nx), base.x0.dtype
+    )
+    ob = batch_ocp(base, x0s)
+    r1 = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
+    assert r1.inner_iters.shape == (B,) and r1.outer_iters.shape == (B,)
+    assert int(jnp.min(r1.inner_iters)) >= 1
+
+    # warm-start element 0 at its own solution, leave 1..2 cold
+    cold = cold_start(base, CFG)
+    warm = WarmStart(
+        U=jnp.stack([r1.U[0], cold.U, cold.U]),
+        lam=jnp.stack([r1.lam[0], cold.lam, cold.lam]),
+        mu=jnp.stack([r1.mu[0], cold.mu, cold.mu]),
+    )
+    r2 = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob, warm)
+    assert int(r2.inner_iters[0]) < int(r2.inner_iters[1])
+    assert int(r2.inner_iters[0]) < int(r2.inner_iters[2])
+
+
+def test_per_element_iteration_counts_fallback_path():
+    """Same observability contract on the XLA fallback path (moving
+    obstacles -> outside the fused class)."""
+    from nmpc_tpu.parallel.decentralized import robot_template
+
+    tpl = robot_template(8, 0.1, 0.3, 2)  # n_mov = 1 slot
+    x0s = jnp.asarray([[-0.5, 0, 0], [-0.4, 0.2, 0]], jnp.float32)
+    goals = jnp.tile(jnp.asarray([[0.6, 0.0, 0.0]], jnp.float32), (2, 1))
+    ob = batch_ocp(
+        dataclasses.replace(tpl, mov_obs=jnp.full((8, 1, 2), 5.0, jnp.float32)),
+        x0s, jnp.tile(goals[:, None, :], (1, 8, 1)),
+    )
+    r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
+    assert r.inner_iters.shape == (2,)
+    assert int(jnp.min(r.inner_iters)) >= 1

@@ -190,3 +190,29 @@ def test_closed_loop_fused_engine():
     r = run(ocp)
     assert bool(r.reached)
     assert float(jnp.min(r.min_dist_hist)) >= sc.dmin - 5e-3
+
+
+def test_wrap_yaw_mode():
+    """MPCConfig(wrap_yaw=True) reproduces the reference's modify() odometry
+    wrap (mpc_online_casadi.py:28-33): a goal posed at theta=2pi-0.1 is
+    reached without winding theta, and the realized yaw history stays in
+    [0, 2pi)."""
+    import dataclasses as dc
+    import functools as ft
+
+    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop
+    from nmpc_tpu.scenarios import get
+
+    sc = get("single_robot")
+    ocp = sc.make(N=10, T=0.05)
+    # start just above the branch point; goal just below it
+    ocp = dc.replace(
+        ocp,
+        x0=jnp.asarray([0.0, 0.0, 0.2], jnp.float32),
+        xref=jnp.tile(jnp.asarray([[0.8, 0.6, 2.0 * np.pi - 0.1]], jnp.float32), (10, 1)),
+    )
+    mpc = MPCConfig(max_steps=600, stop_tol=1e-1, wrap_yaw=True)
+    r = jax.jit(ft.partial(closed_loop, solver_cfg=FAST, mpc=mpc))(ocp)
+    assert bool(r.reached)
+    thetas = np.asarray(r.X_hist)[:, 2]
+    assert thetas.min() >= -1e-6 and thetas.max() < 2.0 * np.pi + 0.3

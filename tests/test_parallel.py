@@ -114,3 +114,31 @@ def test_decentralized_six_robot_antipodal():
     ))(x0, goals)
     assert bool(done)
     assert float(mind.min()) >= 0.3 - 1e-2
+
+
+def test_decentralized_step_fused_matches_xla():
+    """The fused (megakernel) decentralized round returns the same controls
+    and plans as the vmapped per-scenario XLA engine — the round-2 lift of
+    the n_mov gate on the fused Pallas class."""
+    from nmpc_tpu.parallel.decentralized import decentralized_step
+
+    m, N = 4, 12
+    tpl = robot_template(N, 0.1, 0.3, m)
+    ang = np.arange(m) * 2 * np.pi / m
+    x0 = jnp.asarray(np.stack([np.cos(ang), np.sin(ang), ang + np.pi], -1).reshape(-1),
+                     jnp.float32)
+    goals = jnp.asarray(np.stack([-np.cos(ang), -np.sin(ang), ang + np.pi], -1),
+                        jnp.float32)
+    plans = jnp.tile(x0.reshape(m, 3)[:, None, :2], (1, N + 1, 1))
+    w = jax.vmap(lambda _: cold_start(tpl))(jnp.arange(m))
+    cfg = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-4)
+    rf, uf, pf = jax.jit(functools.partial(
+        decentralized_step, tpl, cfg=cfg, engine="fused"))(x0, goals, plans, w)
+    rx, ux, px = jax.jit(functools.partial(
+        decentralized_step, tpl, cfg=cfg, engine="xla"))(x0, goals, plans, w)
+    np.testing.assert_allclose(np.asarray(rf.cost), np.asarray(rx.cost), rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(px), atol=1e-2)
+    # per-element observability survives the fused path
+    assert rf.inner_iters.shape == (m,)
+    assert int(jnp.min(rf.inner_iters)) >= 1

@@ -71,3 +71,29 @@ def test_ten_robot_line_crossing():
     # substantial convergence
     assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
     assert float(r.err_hist[-1]) < 0.25 * float(r.err_hist[0])
+
+
+@pytest.mark.slow
+def test_eight_robot_closed_loop_published_config():
+    """Family E's last un-loop-tested config (m=8, N=5, T=0.02 —
+    AllScripts/mpc_online_casadi_tb3_eight_multi_centralized_collision_free.py:148-152).
+    The published horizon gives only 0.1 s of lookahead, so the antipodal
+    crossing ends in a myopic standoff at the dmin ring (escape must stay off:
+    the parking heuristic ignores collision rows). Assert the collision-free
+    invariant plus the pre-standoff progress."""
+    sc = get("eight_robot")
+    ocp = sc.make()
+    mpc = MPCConfig(max_steps=500, stop_tol=sc.stop_tol, escape=False)
+    r = jax.jit(functools.partial(closed_loop, solver_cfg=STRONG, mpc=mpc))(ocp)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+    assert float(r.err_hist[-1]) < 0.7 * float(r.err_hist[0])
+
+
+@pytest.mark.slow
+def test_eight_robot_closed_loop_full_swap():
+    """With a horizon that can see through the crossing (N=25, T=0.1 — the
+    six-robot headline's 2.5 s of lookahead), the eight-robot antipodal swap
+    completes collision-free and deadlock-free end to end."""
+    sc, r = _run("eight_robot", 250, STRONG, N=25, T=0.1)
+    assert bool(r.reached)
+    assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
