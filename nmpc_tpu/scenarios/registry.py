@@ -76,6 +76,10 @@ class Scenario:
             inv_dist_weight=self.inv_dist_weight,
             dtype=dtype,
         )
+        if self.num_rays:
+            # the ray lower bound IS the robot radius in every reference
+            # variant (v2 :177, v3 :67,153, v4 :67)
+            kw["ray_lo"] = self.robot_radius
         kw.update(overrides)
         return make_ocp(**kw)
 
@@ -402,6 +406,22 @@ _SCENARIOS = [
               "(its gradient-correction code is commented out :67-80)",
     ),
     # ----- family I: LiDAR-augmented NMPC -----
+    Scenario(
+        name="lidar_v2", family="I",
+        source="AllScripts/obs_avoid_static_first_scenario_v2.py:51-58,89,138-143,177,251-253",
+        m=1, N=100, T=0.05, x0=(0, 0, 0),
+        waypoints=((1.0, 0.5, 0.0), (0.0, 0.75, -1.57)),
+        num_rays=10,
+        robot_radius=0.2, v_max=0.22, omega_max=2.84,
+        notes="v2 semantics: ray distances as a separate decision matrix "
+              "D [numRays, N+1] with its own 1-norm equality dynamics and "
+              "bound D >= robot_radius (:89,138-143,177), no 1/d cost, no Nc "
+              "blocking. The multiple-shooting D-matrix form and the "
+              "augmented-state form are the SAME transcription (identical "
+              "equality rows, identical bounds, D carries no cost), so this "
+              "runs on the augmented model with inv_dist_weight=0 and full "
+              "control horizon — only the constants differ from v3",
+    ),
     Scenario(
         name="lidar_v3", family="I",
         source="AllScripts/obs_avoid_static_first_scenario_v3.py:55-67,109-133",

@@ -61,7 +61,10 @@ class ALILQRConfig:
     sweep: str = "seq"        # backward pass: "seq" = O(N) Riccati scan,
                               # "scan" = O(log N) associative-scan LQR
                               # (ops/assoc_lqr.py) for long horizons (the
-                              # reference runs N up to 200, tb3_1.py:57)
+                              # reference runs N up to 200, tb3_1.py:57),
+                              # "auto" = scan iff N >= SCAN_N_MIN and the
+                              # batch is small (solver.alilqr_batched
+                              # thresholds; per-scenario solve treats B = 1)
 
 
 @partial(
@@ -171,7 +174,12 @@ def _backward_pass(ocp: OCP, cfg: ALILQRConfig, X, U, lam, mu):
         lambda x, u, r, l, mk: _stage_expansion(ocp, x, u, r, l, mk, mu)
     )(X[:-1], U, ocp.xref, lam, ocp.mov_obs)
 
-    if cfg.sweep == "scan":
+    sweep = cfg.sweep
+    if sweep == "auto":
+        from nmpc_tpu.solver.alilqr_batched import SCAN_N_MIN
+
+        sweep = "scan" if ocp.N >= SCAN_N_MIN else "seq"
+    if sweep == "scan":
         # horizon-parallel associative-scan LQR: O(log N) depth instead of an
         # N-step sequential chain — the win is the long-horizon configs
         # (N=100..200). Iterates are single-shooting consistent, so the LQ

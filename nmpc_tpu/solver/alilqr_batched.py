@@ -36,6 +36,23 @@ from nmpc_tpu.ops.megasolve_pallas import inner_solve_fused
 
 _META = P.OCP_META
 
+# sweep='auto' resolution. Measured on v5e at the reference's longest
+# horizon (tb3_1, N=200 — docs/SWEEP.md): the associative-scan backward pass
+# loses to the VMEM-resident sequential megakernel sweep by 2-3 orders of
+# magnitude at EVERY batch size, B=1 included — each scan combine is a tiny
+# HBM-bound linalg op while the "sequential" sweep runs 128 lanes in
+# parallel entirely in VMEM. auto therefore resolves to seq at every shape
+# this engine compiles; scan stays an explicit opt-in. SCAN_N_MIN is kept
+# (effectively unreachable) as the knob to flip if a future shape/hardware
+# combination inverts the trade.
+SCAN_N_MIN = 10_000
+
+
+def _resolve_sweep(cfg: ALILQRConfig, N: int, B: int) -> str:
+    if cfg.sweep != "auto":
+        return cfg.sweep
+    return "scan" if N >= SCAN_N_MIN else "seq"
+
 
 def _batch_fields(ocp_b: OCP):
     """Leaves carrying a leading batch axis: x0/xref always; mov_obs when a
@@ -352,8 +369,9 @@ def solve_batched(
             mu=jnp.full((Bt,), cfg.mu_init, dtype),
         )
     U, lam, mu = warm.U, warm.lam, warm.mu
+    sweep = _resolve_sweep(cfg, ocp_b.N, B)
     use_pallas_ls = rollout_pallas.supports(ocp_b)
-    if use_pallas_ls:
+    if use_pallas_ls and sweep != "scan":
         from nmpc_tpu.ops.megasolve_pallas import mega_fits
 
         if cfg.mega and mega_fits(ocp_b):
@@ -361,6 +379,14 @@ def solve_batched(
         # staged lane-major fused path (comparison/debug, and the fallback
         # for shapes whose whole-solve VMEM footprint exceeds the core budget)
         return _solve_lanes(ocp_b, U, lam, mu, cfg, B, Bt)
+    # sweep == "scan" on a supported problem runs the hybrid below: fused
+    # Pallas line-search/rollout kernels around the O(log N) associative-scan
+    # backward pass (the Pallas sweeps are sequential in N by construction)
+    mov_b = None
+    if ocp_b.n_mov and use_pallas_ls:
+        mov_b = ocp_b.mov_obs
+        if mov_b.ndim == 3:
+            mov_b = jnp.broadcast_to(mov_b[None], (Bt, *mov_b.shape))
     X = _rollout_b(ocp_b, U)
     alphas = jnp.asarray(cfg.alphas, dtype)
     ls_alphas = (0.0,) + tuple(cfg.alphas)  # row 0 = current-iterate merit
@@ -380,12 +406,30 @@ def solve_batched(
             X, U, cost, it, it_vec, done = c
             it_vec = it_vec + (~done).astype(jnp.int32)
             A, Bm, lx, lu, lxx, luu, lux = _expansions(ocp_b, X, U, lam, mu)
-            kff, Kfb, dV1 = riccati_fused(A, Bm, lx, lu, lxx, luu, lux, reg=cfg.reg)
+            if sweep == "scan":
+                # horizon-parallel backward pass: O(log N) depth
+                # (ops/assoc_lqr.py) instead of an N-step sequential chain
+                from nmpc_tpu.ops.assoc_lqr import parallel_lqr_gains
+
+                regI = cfg.reg * jnp.eye(ocp_b.nu, dtype=dtype)
+
+                def one_scan(A_, B_, lx_, lu_, lxx_, luu_, lux_):
+                    kff_, Kfb_, _, v = parallel_lqr_gains(
+                        A_, B_, jnp.zeros_like(lx_), lxx_, lx_,
+                        luu_ + regI, lu_, lux_
+                    )
+                    Qu = lu_ - jnp.einsum("knm,kn->km", B_, v[1:])
+                    return kff_, Kfb_, jnp.sum(kff_ * Qu)
+
+                kff, Kfb, dV1 = jax.vmap(one_scan)(A, Bm, lx, lu, lxx, luu, lux)
+            else:
+                kff, Kfb, dV1 = riccati_fused(A, Bm, lx, lu, lxx, luu, lux, reg=cfg.reg)
 
             if use_pallas_ls:
                 # fused kernel: all candidate rollouts + merits in one call
                 costs_all = rollout_pallas.linesearch_costs(
-                    ocp_b, ocp_b.x0, X, U, kff, Kfb, ocp_b.xref, lam, mu, ls_alphas
+                    ocp_b, ocp_b.x0, X, U, kff, Kfb, ocp_b.xref, lam, mu,
+                    ls_alphas, mov_b
                 )
                 cost_cur, costs = costs_all[0], costs_all[1:]
             else:

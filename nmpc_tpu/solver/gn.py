@@ -153,3 +153,28 @@ def solve(ocp: OCP, warm: WarmStart | None = None, cfg: GNConfig = GNConfig()) -
         cost=P.total_cost(ocp, X, U),
         viol=viol, inner_iters=tot, outer_iters=outer, converged=done,
     )
+
+
+def solve_batched(ocp_b: OCP, warm: WarmStart | None = None,
+                  cfg: GNConfig = GNConfig()) -> SolveResult:
+    """Batched condensed GN-AL: vmap over the batch leaves (x0, xref, and a
+    per-element mov_obs schedule if present).
+
+    This is the family-I (LiDAR v4) fleet engine: the per-iteration work is
+    one dense [B, Nc*nu, Nc*nu] Cholesky plus batched residual/Jacobian
+    evaluations — large batched GEMMs that map straight onto the MXU, unlike
+    the ray-augmented stagewise path the Pallas kernels exclude
+    (obs_avoid_static_first_scenario_v4.py:59-75)."""
+    from nmpc_tpu.solver.alilqr_batched import _batch_fields
+
+    bf = _batch_fields(ocp_b)
+    updates = {
+        f.name: (0 if f.name in bf else None)
+        for f in dataclasses.fields(ocp_b)
+        if f.name not in P.OCP_META
+    }
+    ocp_axes = dataclasses.replace(ocp_b, **updates)
+    fn = partial(solve, cfg=cfg)
+    if warm is None:
+        return jax.vmap(lambda o: fn(o), in_axes=(ocp_axes,))(ocp_b)
+    return jax.vmap(fn, in_axes=(ocp_axes, 0))(ocp_b, warm)

@@ -6,6 +6,16 @@ scipy's SLSQP — the solver of the reference's own family-A scripts
 (states eliminated by the exact Euler rollout), which shares its optima with
 the multiple-shooting form. Pure NumPy, float64, fully independent of the JAX
 engine under test.
+
+Round 2: the oracle carries hand-coded forward sensitivities (dX/dU
+propagated through the analytic Euler Jacobians), so SLSQP gets exact
+gradients and constraint Jacobians instead of finite differences — this is
+what makes the FULL reference horizons (N=100/70/35/20, ~400-700 decision
+variables) tractable. It also gained the reference's remaining constraint
+classes (position box, static-obstacle rows) and a LiDAR-augmented variant
+(family I: ray states with 1-norm propagation, 1/d cost, Nc move blocking),
+plus multi-start (SLSQP from z0=0 lands on infeasible local points of the
+harder nonconvex cases).
 """
 
 from __future__ import annotations
@@ -30,6 +40,43 @@ def rollout_np(x0, U, T):
     return X
 
 
+def _rollout_sens(x0, U, T):
+    """Rollout + forward sensitivities.
+
+    Returns X [N+1, nx] and S [N+1, nx, nz] with S[k] = dX[k]/dvec(U)
+    (row-major vec: z = U.reshape(-1)). Euler unicycle Jacobians are
+    analytic: A = I except A[3i, 3i+2] = -T v sin th, A[3i+1, 3i+2] =
+    T v cos th; B[3i, 2i] = T cos th, B[3i+1, 2i] = T sin th,
+    B[3i+2, 2i+1] = T."""
+    m = x0.shape[0] // 3
+    nx = 3 * m
+    nu = 2 * m
+    N = U.shape[0]
+    nz = N * nu
+    X = np.zeros((N + 1, nx))
+    S = np.zeros((N + 1, nx, nz))
+    X[0] = x0
+    for k in range(N):
+        x = X[k]
+        rhs = np.zeros(nx)
+        A = np.eye(nx)
+        Bk = np.zeros((nx, nu))
+        for i in range(m):
+            v, w = U[k, 2 * i], U[k, 2 * i + 1]
+            th = x[3 * i + 2]
+            c, s = np.cos(th), np.sin(th)
+            rhs[3 * i : 3 * i + 3] = [v * c, v * s, w]
+            A[3 * i, 3 * i + 2] = -T * v * s
+            A[3 * i + 1, 3 * i + 2] = T * v * c
+            Bk[3 * i, 2 * i] = T * c
+            Bk[3 * i + 1, 2 * i] = T * s
+            Bk[3 * i + 2, 2 * i + 1] = T
+        X[k + 1] = x + T * rhs
+        S[k + 1] = A @ S[k]
+        S[k + 1][:, k * nu : (k + 1) * nu] += Bk
+    return X, S
+
+
 def solve_oracle(
     x0,
     xs,
@@ -40,49 +87,209 @@ def solve_oracle(
     omega_max=2.84,
     U0=None,
     maxiter=500,
+    obstacles=None,
+    robot_radius=0.1,
+    obs_margin=0.05,
+    pos_bound=None,
+    n_starts=1,
+    seed=0,
 ):
-    """Condensed SLSQP solve of the reference OCP. Returns (U, X, cost)."""
+    """Condensed SLSQP solve of the reference OCP with exact gradients.
+
+    obstacles: optional [(ox, oy, r), ...] static circles — clearance rows
+    sqrt(d2) - r - robot_radius - obs_margin >= 0 at stages 1..N-1 (stage 0
+    is the pinned measurement, matching ocp.problem.constraint_mask).
+    pos_bound: optional symmetric |x|,|y| <= pos_bound rows (same stages).
+    n_starts > 1 adds random restarts and returns the best feasible point.
+    Returns (U, X, cost)."""
     x0 = np.asarray(x0, float)
     xs = np.asarray(xs, float)
     m = x0.shape[0] // 3
-    Q = np.diag([1.0, 5.0, 0.1] * m)
-    R = np.diag([0.5, 0.05] * m)
+    nu = 2 * m
+    nz = N * nu
+    Qd = np.array([1.0, 5.0, 0.1] * m)
+    Rd = np.array([0.5, 0.05] * m)
+    obstacles = [] if obstacles is None else list(obstacles)
+    pairs = [(i, j) for i in range(m) for j in range(i + 1, m)] if (
+        dmin > 0 and m > 1) else []
 
-    def obj(z):
-        U = z.reshape(N, 2 * m)
-        X = rollout_np(x0, U, T)
-        c = 0.0
-        for k in range(N):
-            dx = X[k] - xs
-            c += dx @ Q @ dx + U[k] @ R @ U[k]
-        return c
+    def obj_and_grad(z):
+        U = z.reshape(N, nu)
+        X, S = _rollout_sens(x0, U, T)
+        dx = X[:N] - xs[None, :]
+        c = float(np.sum(dx * Qd * dx) + np.sum(U * Rd * U))
+        g = np.einsum("kn,knz->z", 2.0 * Qd * dx, S[:N])
+        g += (2.0 * Rd * U).reshape(-1)
+        return c, g
 
+    def cons_and_jac(z):
+        """All inequality rows (>= 0) + Jacobian at stages 1..N-1."""
+        U = z.reshape(N, nu)
+        X, S = _rollout_sens(x0, U, T)
+        rows, jacs = [], []
+        for k in range(1, N):
+            x, Sx = X[k], S[k]
+            for (i, j) in pairs:
+                dxp = x[3 * i] - x[3 * j]
+                dyp = x[3 * i + 1] - x[3 * j + 1]
+                rows.append(dxp * dxp + dyp * dyp - dmin * dmin)
+                g = (2 * dxp * (Sx[3 * i] - Sx[3 * j])
+                     + 2 * dyp * (Sx[3 * i + 1] - Sx[3 * j + 1]))
+                jacs.append(g)
+            for (ox, oy, r) in obstacles:
+                for i in range(m):
+                    dxo = x[3 * i] - ox
+                    dyo = x[3 * i + 1] - oy
+                    dist = np.sqrt(dxo * dxo + dyo * dyo + 1e-12)
+                    rows.append(dist - r - robot_radius - obs_margin)
+                    jacs.append((dxo * Sx[3 * i] + dyo * Sx[3 * i + 1]) / dist)
+            if pos_bound is not None:
+                for i in range(m):
+                    for ax in (0, 1):
+                        rows.append(pos_bound - x[3 * i + ax])
+                        jacs.append(-Sx[3 * i + ax])
+                        rows.append(x[3 * i + ax] + pos_bound)
+                        jacs.append(Sx[3 * i + ax])
+        if not rows:
+            return np.zeros((0,)), np.zeros((0, nz))
+        return np.array(rows), np.array(jacs)
+
+    have_cons = bool(pairs or obstacles or pos_bound is not None)
     cons = []
-    if dmin > 0 and m > 1:
-        pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    if have_cons:
+        cons.append({
+            "type": "ineq",
+            "fun": lambda z: cons_and_jac(z)[0],
+            "jac": lambda z: cons_and_jac(z)[1],
+        })
+    bounds = [(-v_max, v_max), (-omega_max, omega_max)] * m * N
 
-        def coll(z):
-            U = z.reshape(N, 2 * m)
-            X = rollout_np(x0, U, T)
-            rows = []
-            for k in range(N):
-                for (i, j) in pairs:
-                    d2 = (X[k, 3 * i] - X[k, 3 * j]) ** 2 + (
-                        X[k, 3 * i + 1] - X[k, 3 * j + 1]
-                    ) ** 2
-                    rows.append(d2 - dmin * dmin)
-            return np.array(rows)
+    def run(z0):
+        res = minimize(
+            obj_and_grad, z0, method="SLSQP", jac=True,
+            bounds=bounds, constraints=cons,
+            options={"maxiter": maxiter, "ftol": 1e-12},
+        )
+        viol = 0.0
+        if have_cons:
+            viol = max(0.0, -cons_and_jac(res.x)[0].min(initial=0.0))
+        return res.x, res.fun, viol
 
-        cons.append({"type": "ineq", "fun": coll})
+    starts = [np.zeros(nz) if U0 is None else np.asarray(U0, float).reshape(-1)]
+    rng = np.random.default_rng(seed)
+    for _ in range(max(0, n_starts - 1)):
+        starts.append(rng.uniform(-1.0, 1.0, nz)
+                      * np.tile([v_max, omega_max], m * N))
+    best = None
+    for z0 in starts:
+        z, c, viol = run(z0)
+        feas = viol < 1e-6
+        key = (not feas, c)  # feasible first, then cost
+        if best is None or key < best[0]:
+            best = (key, z, c)
+    U = best[1].reshape(N, nu)
+    return U, rollout_np(x0, U, T), best[2]
 
-    z0 = np.zeros(2 * m * N) if U0 is None else np.asarray(U0, float).reshape(-1)
+
+def solve_oracle_lidar(
+    x0_pose,
+    xs_pose,
+    N,
+    T,
+    p_obs,            # [R, 2] frozen obstacle points
+    d0,               # [R] initial ray distances
+    ray_lo=0.15,
+    inv_dist_weight=0.0,
+    Nc=None,
+    v_max=0.15,
+    omega_max=1.5,
+    U0=None,
+    maxiter=400,
+):
+    """Family-I oracle: LiDAR-augmented condensed SLSQP with exact gradients.
+
+    Model (obs_avoid_static_first_scenario_v3/v4.py): pose by Euler, ray
+    state d_{k+1} = ||p_{k+1} - p_obs||_1 (1-norm), cost adds
+    inv_dist_weight * sum 1/d^2, bound d >= ray_lo at stages 1..N-1, and
+    optional Nc move blocking (u_k = U_blk[min(k, Nc-1)], v4 :61,128-131).
+    Returns (U [N, 2] expanded controls, X_pose [N+1, 3], cost)."""
+    x0_pose = np.asarray(x0_pose, float)
+    xs_pose = np.asarray(xs_pose, float)
+    p_obs = np.asarray(p_obs, float)
+    d0 = np.asarray(d0, float)
+    R = p_obs.shape[0]
+    Nc = N if Nc is None else Nc
+    nz = Nc * 2
+    Qd = np.array([1.0, 5.0, 0.1])
+    Rd = np.array([0.5, 0.05])
+
+    def expand_idx(k):
+        return min(k, Nc - 1)
+
+    def roll(z):
+        """Pose + ray rollout with sensitivities wrt U_blk."""
+        U = z.reshape(Nc, 2)
+        X = np.zeros((N + 1, 3))
+        D = np.zeros((N + 1, R))
+        SX = np.zeros((N + 1, 3, nz))
+        SD = np.zeros((N + 1, R, nz))
+        X[0] = x0_pose
+        D[0] = d0
+        for k in range(N):
+            b = expand_idx(k)
+            v, w = U[b]
+            th = X[k, 2]
+            c, s = np.cos(th), np.sin(th)
+            X[k + 1] = X[k] + T * np.array([v * c, v * s, w])
+            A = np.eye(3)
+            A[0, 2] = -T * v * s
+            A[1, 2] = T * v * c
+            Bk = np.array([[T * c, 0.0], [T * s, 0.0], [0.0, T]])
+            SX[k + 1] = A @ SX[k]
+            SX[k + 1][:, 2 * b : 2 * b + 2] += Bk
+            delta = X[k + 1, :2][None, :] - p_obs        # [R, 2]
+            D[k + 1] = np.abs(delta).sum(axis=1)
+            sgn = np.sign(delta)                          # [R, 2]
+            SD[k + 1] = sgn @ SX[k + 1][:2]               # [R, nz]
+        return X, D, SX, SD
+
+    def obj_and_grad(z):
+        U = z.reshape(Nc, 2)
+        X, D, SX, SD = roll(z)
+        Ue = U[[expand_idx(k) for k in range(N)]]
+        dx = X[:N] - xs_pose[None, :]
+        c = float(np.sum(dx * Qd * dx) + np.sum(Ue * Rd * Ue))
+        g = np.einsum("kn,knz->z", 2.0 * Qd * dx, SX[:N])
+        gu = 2.0 * Rd * Ue                                 # [N, 2]
+        for k in range(N):
+            g[2 * expand_idx(k) : 2 * expand_idx(k) + 2] += gu[k]
+        if inv_dist_weight:
+            dcl = np.maximum(D[:N], 1e-3)
+            c += float(inv_dist_weight * np.sum(1.0 / (dcl * dcl)))
+            gd = -2.0 * inv_dist_weight / dcl**3           # [N, R]
+            g += np.einsum("kr,krz->z", gd, SD[:N])
+        return c, g
+
+    def cons_and_jac(z):
+        X, D, SX, SD = roll(z)
+        rows = (D[1:N] - ray_lo).reshape(-1)
+        jacs = SD[1:N].reshape(-1, nz)
+        return rows, jacs
+
+    cons = [{
+        "type": "ineq",
+        "fun": lambda z: cons_and_jac(z)[0],
+        "jac": lambda z: cons_and_jac(z)[1],
+    }]
+    z0 = (np.zeros(nz) if U0 is None
+          else np.asarray(U0, float)[:Nc].reshape(-1))
     res = minimize(
-        obj,
-        z0,
-        method="SLSQP",
-        bounds=[(-v_max, v_max), (-omega_max, omega_max)] * m * N,
+        obj_and_grad, z0, method="SLSQP", jac=True,
+        bounds=[(-v_max, v_max), (-omega_max, omega_max)] * Nc,
         constraints=cons,
         options={"maxiter": maxiter, "ftol": 1e-12},
     )
-    U = res.x.reshape(N, 2 * m)
-    return U, rollout_np(x0, U, T), res.fun
+    U_blk = res.x.reshape(Nc, 2)
+    U = U_blk[[expand_idx(k) for k in range(N)]]
+    X, D, _, _ = roll(res.x)
+    return U, X, res.fun

@@ -195,3 +195,24 @@ def test_per_element_iteration_counts_fallback_path():
     r = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
     assert r.inner_iters.shape == (2,)
     assert int(jnp.min(r.inner_iters)) >= 1
+
+
+def test_batched_scan_sweep_matches_seq():
+    """sweep='scan' (hybrid: fused Pallas line search around the O(log N)
+    associative-scan backward pass) matches the sequential production path;
+    sweep='auto' resolves to seq at every reference shape (docs/SWEEP.md:
+    measured 2-3 orders of magnitude in seq's favor on v5e)."""
+    from nmpc_tpu.solver.alilqr_batched import _resolve_sweep
+
+    base = get("two_robot_swap").make(N=12)
+    x0s = base.x0[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (3, base.nx), base.x0.dtype
+    )
+    ob = batch_ocp(base, x0s)
+    rs = jax.jit(functools.partial(
+        solve_batched, cfg=dataclasses.replace(CFG, sweep="scan")))(ob)
+    rq = jax.jit(functools.partial(solve_batched, cfg=CFG))(ob)
+    np.testing.assert_allclose(np.array(rs.cost), np.array(rq.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.array(rs.U), np.array(rq.U), atol=5e-3)
+    assert _resolve_sweep(dataclasses.replace(CFG, sweep="auto"), 200, 1) == "seq"
+    assert _resolve_sweep(dataclasses.replace(CFG, sweep="scan"), 10, 1) == "scan"

@@ -125,3 +125,65 @@ def test_lidar_v3_closed_loop_ilqr_engine():
     U = np.array(U)
     assert np.abs(U[:, 0]).max() <= 0.15 + 1e-3
     assert np.abs(U[:, 1]).max() <= 1.5 + 1e-3
+
+
+def test_gn_batched_matches_per_scenario():
+    """solve_batched (the family-I fleet engine: one dense [B, Nc*nu, Nc*nu]
+    Cholesky per GN iteration on the MXU) equals element-wise gn.solve on a
+    jittered lidar_v4 batch."""
+    import dataclasses
+
+    sc = get("lidar_v4")
+    base = sc.make(N=30)
+    # frozen obstacle points ahead-left of the path so rays actually bind
+    import jax.numpy as jnp
+    from nmpc_tpu.mpc.lidar import obstacle_points
+
+    angles = jnp.arange(10) * 2 * jnp.pi / 10
+    p_obs = obstacle_points(base.x0[:3], jnp.full((10,), 1.2), angles)
+    base = dataclasses.replace(
+        base,
+        p_obs=p_obs,
+        x0=base.x0.at[3:].set(1.2),
+        xref=jnp.tile(
+            jnp.concatenate([jnp.asarray(sc.waypoints[0], jnp.float32),
+                             jnp.zeros((10,), jnp.float32)])[None],
+            (30, 1)),
+    )
+    B = 3
+    x0s = jnp.stack([base.x0, base.x0.at[0].add(0.05), base.x0.at[1].add(-0.05)])
+    ob = dataclasses.replace(base, x0=x0s,
+                             xref=jnp.broadcast_to(base.xref[None], (B, 30, 13)))
+    cfg = gn.GNConfig(Nc=15, n_gn=12, n_outer=6, tol_con=1e-3)
+    rb = jax.jit(functools.partial(gn.solve_batched, cfg=cfg))(ob)
+    assert rb.U.shape == (B, 30, 2)
+    r0 = jax.jit(functools.partial(gn.solve, cfg=cfg))(base)
+    np.testing.assert_allclose(np.asarray(rb.cost[0]), np.asarray(r0.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb.U[0]), np.asarray(r0.U), atol=1e-4)
+
+
+def test_lidar_v2_closed_loop():
+    """v2 semantics (obs_avoid_static_first_scenario_v2.py): ray distances as
+    their own decision rows with 1-norm equality dynamics and bound
+    D >= robot_radius (:89,138-143,177) — the same transcription as the
+    augmented-state model with no 1/d cost and full control horizon, which is
+    how the registry encodes it. v2's faster actuator limits (0.22/2.84)
+    and bigger radius (0.2) distinguish it from v3."""
+    from nmpc_tpu.mpc.lidar import closed_loop_lidar
+    from nmpc_tpu.solver.alilqr import ALILQRConfig, solve as ilqr_solve
+
+    sc = get("lidar_v2")
+    assert sc.Nc is None and sc.inv_dist_weight == 0.0
+    assert sc.v_max == 0.22 and sc.robot_radius == 0.2
+    ocp = sc.make(N=30, ray_lo=0.3)  # discretization margin (see v3 test)
+    obstacles = jnp.array([[0.5, 0.25, 0.15]], jnp.float32)
+    wps = jnp.asarray(sc.waypoints[:1], jnp.float32)
+    icfg = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-3)
+    X, U, clr, gidx, done = jax.jit(functools.partial(
+        closed_loop_lidar, sim_obstacles=obstacles, waypoints=wps,
+        solve_fn=lambda o, w: ilqr_solve(o, w, icfg), max_steps=400))(ocp)
+    assert float(clr.min()) >= 0.2 - 2e-2
+    assert int(gidx[-1]) >= 1
+    U = np.array(U)
+    assert np.abs(U[:, 0]).max() <= 0.22 + 1e-3
+    assert np.abs(U[:, 1]).max() <= 2.84 + 1e-3

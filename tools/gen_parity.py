@@ -1,13 +1,23 @@
 """Generate docs/PARITY.md: open-loop solver parity vs the scipy oracle.
 
-For each reference configuration family we solve the same multiple-shooting
-NLP with (a) the TPU engine (AL-iLQR) and (b) the condensed SLSQP oracle
-(tests/oracle.py — the reference's own family-A solver, float64, independent
-code path), then report cost parity, constraint satisfaction, and the
-KKT-polish distance (how far SLSQP moves when seeded at our solution; small
-distance = our solution is a KKT point of the reference NLP).
+For each reference configuration we solve the same multiple-shooting NLP with
+(a) the TPU engine (AL-iLQR; condensed GN for the Nc-blocked LiDAR v4) and
+(b) the condensed SLSQP oracle (tests/oracle.py — the reference's own
+family-A solver, float64, exact hand-coded sensitivities, independent code
+path), then report BOTH parity gaps:
 
-Run: python tools/gen_parity.py   (CPU, a few minutes)
+  * raw gap   — vs the best multi-start cold oracle solve (how our optimum
+    compares to what the oracle finds on its own; the problems are nonconvex,
+    so a large raw gap with `ours<orc` means we found the better basin);
+  * polished gap — vs the oracle seeded at our solution (small = our
+    solution is a KKT point of the reference NLP at f64).
+
+Round 2: horizons are the UNSHRUNK published configs (N=100/70/35/20 —
+mpc_online_casadi_tb3_*.py), the oracle gained position-box and
+static-obstacle rows (family H) and a LiDAR-augmented variant (family I),
+and the cold oracle is multi-started.
+
+Run: python tools/gen_parity.py   (CPU, ~30-60 min at full horizons)
 """
 
 import functools
@@ -22,30 +32,48 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import dataclasses
+
 import numpy as np
 
 from nmpc_tpu.scenarios import get
 from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
-from oracle import solve_oracle
+from oracle import solve_oracle, solve_oracle_lidar
 
 TIGHT = ALILQRConfig(tol_cost=1e-9, n_inner=60, n_outer=20, tol_con=1e-5)
 
-# (scenario, horizon override for oracle tractability)
+# (scenario, N override or None = published horizon, oracle multi-starts)
 CASES = [
-    ("single_robot", None),
-    ("tb3_2", 60),
-    ("two_robot_swap", 40),
-    ("two_robot_centralized", None),
-    ("five_robot", 25),
-    ("six_robot_antipodal", 20),
-    ("eight_robot", None),
-    ("ten_robot", 12),
+    ("single_robot", None, 1),      # N=50   (mpc_online_casadi.py:57)
+    ("tb3_2", None, 1),             # N=200  (mpc_online_casadi_tb3_2.py:57)
+    ("two_robot_swap", None, 2),    # N=100  (...two_centralized...py:81)
+    ("two_robot_centralized", None, 1),  # N=50
+    ("five_robot", None, 2),        # N=70   (...multi_centralized...py:116)
+    ("six_robot_antipodal", None, 4),    # N=35 (headline, :128)
+    ("eight_robot", None, 1),       # N=5
+    ("ten_robot", None, 2),         # N=20   (...ten...py:170)
+]
+
+OBSTACLE_CASES = [
+    ("obstacle_scenario_1", 60, 1),
+    ("obstacle_scenario_2", 60, 1),
+    ("obstacle_scenario_3", 60, 1),
 ]
 
 
-def main():
-    rows = []
-    for name, N_over in CASES:
+def row_dict(name, sc, ocp, cost_ours, viol, t_ours, cost_o, cost_p, polish, t_orc):
+    raw = abs(cost_ours - cost_o) / (1 + abs(cost_o))
+    pol = abs(cost_ours - cost_p) / (1 + abs(cost_p))
+    return dict(
+        name=name, m=sc.m, N=ocp.N, cost_ours=cost_ours, cost_oracle=cost_o,
+        raw_gap=raw, cost_polished=cost_p, pol_gap=pol,
+        better=cost_ours < cost_o - 1e-6,
+        viol=viol, polish=polish, t_ours=t_ours, t_orc=t_orc,
+    )
+
+
+def run_family_e(rows):
+    for name, N_over, starts in CASES:
         sc = get(name)
         ocp = sc.make() if N_over is None else sc.make(N=N_over)
         t0 = time.time()
@@ -54,51 +82,155 @@ def main():
         t_ours = time.time() - t0
         x0 = np.array(ocp.x0, float)
         xs = np.array(ocp.xref[-1], float)
+        dmin = float(np.sqrt(float(ocp.dmin2))) if sc.collision else 0.0
         t0 = time.time()
         U_o, X_o, cost_o = solve_oracle(
-            x0, xs, ocp.N, float(ocp.T),
-            dmin=float(np.sqrt(float(ocp.dmin2))) if sc.collision else 0.0,
-            v_max=sc.v_max, omega_max=sc.omega_max, maxiter=300,
+            x0, xs, ocp.N, float(ocp.T), dmin=dmin,
+            v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
+            n_starts=starts,
         )
         t_orc = time.time() - t0
-        # polish: oracle seeded at our solution
         U_ours = np.array(res.U, float)
         U_p, _, cost_p = solve_oracle(
-            x0, xs, ocp.N, float(ocp.T),
-            dmin=float(np.sqrt(float(ocp.dmin2))) if sc.collision else 0.0,
-            v_max=sc.v_max, omega_max=sc.omega_max, U0=U_ours, maxiter=300,
+            x0, xs, ocp.N, float(ocp.T), dmin=dmin,
+            v_max=sc.v_max, omega_max=sc.omega_max, U0=U_ours, maxiter=400,
         )
         polish = np.abs(U_p - U_ours).max()
-        cost_ours = float(res.cost)
-        rows.append(dict(
-            name=name, m=sc.m, N=ocp.N, T=float(ocp.T),
-            cost_ours=cost_ours, cost_oracle=cost_o,
-            rel=abs(cost_ours - min(cost_o, cost_p)) / (1 + abs(min(cost_o, cost_p))),
-            better=cost_ours < cost_o - 1e-6,
-            viol=float(res.viol), polish=float(polish),
-            t_ours=t_ours, t_orc=t_orc,
-        ))
-        print(f"{name}: ours {cost_ours:.4f} oracle {cost_o:.4f} "
-              f"polish-dU {polish:.2e} viol {float(res.viol):.1e} "
+        r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
+                     cost_o, cost_p, float(polish), t_orc)
+        rows.append(r)
+        print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
+              f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
+              f"dU {polish:.2e} viol {r['viol']:.1e} "
               f"({t_ours:.1f}s vs {t_orc:.1f}s)", flush=True)
+
+
+def run_family_h(rows):
+    for name, N_over, starts in OBSTACLE_CASES:
+        sc = get(name)
+        ocp = sc.make(N=N_over)
+        t0 = time.time()
+        res = jax.jit(functools.partial(solve, cfg=TIGHT))(ocp)
+        res.X.block_until_ready()
+        t_ours = time.time() - t0
+        x0 = np.array(ocp.x0, float)
+        xs = np.array(ocp.xref[-1], float)
+        obstacles = [tuple(map(float, o)) for o in np.array(ocp.obstacles)]
+        kw = dict(
+            obstacles=obstacles, robot_radius=float(ocp.robot_radius),
+            obs_margin=float(ocp.obs_margin),
+            v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
+        )
+        t0 = time.time()
+        U_o, X_o, cost_o = solve_oracle(x0, xs, ocp.N, float(ocp.T),
+                                        n_starts=starts, **kw)
+        t_orc = time.time() - t0
+        U_ours = np.array(res.U, float)
+        U_p, _, cost_p = solve_oracle(x0, xs, ocp.N, float(ocp.T),
+                                      U0=U_ours, **kw)
+        polish = np.abs(U_p - U_ours).max()
+        r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
+                     cost_o, cost_p, float(polish), t_orc)
+        rows.append(r)
+        print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
+              f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
+              f"dU {polish:.2e} viol {r['viol']:.1e}", flush=True)
+
+
+def run_family_i(rows):
+    """LiDAR-augmented parity at the published configs: v3 (full horizon,
+    AL-iLQR) and v4 (Nc=50 blocking, condensed GN). Frozen obstacle points
+    are a synthetic scan: two rays struck a surface 0.9 m ahead-left, the
+    rest at the 3.5 m cap (obs_avoid_static_first_scenario_v4.py:29-40)."""
+    from nmpc_tpu.mpc.lidar import obstacle_points, ray_angles
+    from nmpc_tpu.solver import gn
+
+    import jax.numpy as jnp
+
+    for name in ("lidar_v2", "lidar_v3", "lidar_v4"):
+        sc = get(name)
+        ocp = sc.make()
+        R = sc.num_rays
+        angles = ray_angles(R, jnp.float32)
+        scan = np.full((R,), 3.5, np.float32)
+        scan[1] = 0.9
+        scan[2] = 1.1
+        pose0 = np.asarray(sc.x0, np.float32)
+        p_obs = obstacle_points(jnp.asarray(pose0), jnp.asarray(scan), angles)
+        ocp = dataclasses.replace(
+            ocp,
+            p_obs=p_obs,
+            x0=ocp.x0.at[3:].set(jnp.asarray(scan)),
+        )
+        t0 = time.time()
+        if sc.Nc:
+            cfg = gn.GNConfig(Nc=sc.Nc, n_gn=40, n_outer=12, tol_con=1e-5,
+                              tol_cost=1e-9)
+            res = jax.jit(functools.partial(gn.solve, cfg=cfg))(ocp)
+        else:
+            res = jax.jit(functools.partial(solve, cfg=TIGHT))(ocp)
+        res.X.block_until_ready()
+        t_ours = time.time() - t0
+        t0 = time.time()
+        U_o, X_o, cost_o = solve_oracle_lidar(
+            pose0, np.array(ocp.xref[-1, :3], float), ocp.N, float(ocp.T),
+            np.array(p_obs, float), scan.astype(float),
+            ray_lo=float(ocp.x_lo[3]),
+            inv_dist_weight=float(ocp.inv_dist_weight),
+            Nc=sc.Nc, v_max=sc.v_max, omega_max=sc.omega_max,
+        )
+        t_orc = time.time() - t0
+        U_ours = np.array(res.U, float)
+        U_p, _, cost_p = solve_oracle_lidar(
+            pose0, np.array(ocp.xref[-1, :3], float), ocp.N, float(ocp.T),
+            np.array(p_obs, float), scan.astype(float),
+            ray_lo=float(ocp.x_lo[3]),
+            inv_dist_weight=float(ocp.inv_dist_weight),
+            Nc=sc.Nc, v_max=sc.v_max, omega_max=sc.omega_max, U0=U_ours,
+        )
+        polish = np.abs(U_p - U_ours).max()
+        r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
+                     cost_o, cost_p, float(polish), t_orc)
+        rows.append(r)
+        print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
+              f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
+              f"dU {polish:.2e} viol {r['viol']:.1e}", flush=True)
+
+
+def main():
+    rows = []
+    run_family_e(rows)
+    run_family_h(rows)
+    run_family_i(rows)
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/PARITY.md", "w") as f:
         f.write(
             "# Solver parity vs the reference NLP (scipy SLSQP oracle)\n\n"
-            "Open-loop solves of the reference's own transcriptions. "
-            "`polish dU` = max control change when the float64 oracle is "
-            "seeded at our solution (small = our solution is a KKT point of "
-            "the reference NLP). `ours<orc` marks cases where the TPU engine "
-            "found a *better* local optimum than the cold-started oracle "
-            "(the problems are nonconvex).\n\n"
-            "| scenario | m | N | cost (ours) | cost (oracle) | rel. gap | ours<orc | max viol | polish dU | solve s (ours/oracle) |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n"
+            "Open-loop solves of the reference's own transcriptions at the\n"
+            "UNSHRUNK published horizons. The oracle (tests/oracle.py) is\n"
+            "float64 SLSQP on the condensed form with exact hand-coded\n"
+            "sensitivities, multi-started on the hard nonconvex cases.\n\n"
+            "Two gaps are reported separately:\n"
+            "`raw gap` compares against the best cold multi-start oracle\n"
+            "solve; `pol gap` against the oracle seeded at our solution\n"
+            "(small = our solution is a KKT point of the reference NLP at\n"
+            "f64). `ours<orc` marks cases where the TPU engine found a\n"
+            "*better* local optimum than every cold oracle start. `polish\n"
+            "dU` = max control change under that seeded polish.\n\n"
+            "Families: E/C (pairwise collision), H (static obstacles, N=60\n"
+            "slice of the N=100 configs — SLSQP's active-set cycling on\n"
+            "900+ obstacle rows, not problem size, caps the oracle there),\n"
+            "I (LiDAR-augmented: v2/v3 full horizon on AL-iLQR, v4 Nc=50\n"
+            "move blocking on condensed GN).\n\n"
+            "| scenario | m | N | cost (ours) | cost (oracle) | raw gap | cost (polished) | pol gap | ours<orc | max viol | polish dU | solve s (ours/oracle) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write(
                 f"| {r['name']} | {r['m']} | {r['N']} | {r['cost_ours']:.4f} | "
-                f"{r['cost_oracle']:.4f} | {r['rel']:.1e} | "
+                f"{r['cost_oracle']:.4f} | {r['raw_gap']:.1e} | "
+                f"{r['cost_polished']:.4f} | {r['pol_gap']:.1e} | "
                 f"{'yes' if r['better'] else ''} | {r['viol']:.1e} | "
                 f"{r['polish']:.2e} | {r['t_ours']:.2f} / {r['t_orc']:.1f} |\n"
             )
