@@ -65,6 +65,21 @@ class ALILQRConfig:
                               # "auto" = scan iff N >= SCAN_N_MIN and the
                               # batch is small (solver.alilqr_batched
                               # thresholds; per-scenario solve treats B = 1)
+    final_clamp: bool = True  # project the returned controls onto the
+                              # actuator box and re-roll once (ALTRO-style
+                              # feasibility restoration). The AL penalty
+                              # leaves 1e-3-class u-bound violations at
+                              # optima (f32 polish limit); the projected
+                              # re-roll makes u rows exactly feasible and
+                              # barely moves the trajectory (measured: cost
+                              # +1e-3 rel, five_robot lands within 5e-5 of
+                              # the f64 oracle optimum). Matches deployment:
+                              # the plant saturates commands anyway
+                              # (sim/plant.py). In-iteration clamping was
+                              # tried and REJECTED: the quadratic model
+                              # doesn't see the box, so clamped candidates
+                              # stall the line search (six-robot viol
+                              # degraded 8e-5 -> 4.5e-2).
 
 
 @partial(
@@ -323,6 +338,10 @@ def solve(ocp: OCP, warm: WarmStart | None = None, cfg: ALILQRConfig = ALILQRCon
     X, U, lam, mu, outer, inner_tot, viol, done = jax.lax.while_loop(
         cond, body, (X, U, lam, mu, zero, zero, jnp.asarray(jnp.inf, X.dtype), jnp.zeros((), bool))
     )
+    if cfg.final_clamp:
+        U = jnp.clip(U, ocp.u_lo, ocp.u_hi)
+        X = P.rollout(ocp, U)
+        viol = P.max_violation(ocp, X, U)
     return SolveResult(
         X=X,
         U=U,

@@ -111,6 +111,19 @@ def _forward_b(ocp_b: OCP, X, U, kff, Kfb, alpha):
     return _vm(one, ocp_b, X, U, kff, Kfb, alpha)
 
 
+def _finalize(ocp_b: OCP, X, U, cfg: ALILQRConfig):
+    """Final feasibility restoration (see ALILQRConfig.final_clamp): project
+    the controls onto the actuator box, re-roll, recompute cost/viol."""
+    if cfg.final_clamp:
+        U = jnp.clip(U, ocp_b.u_lo[None, None], ocp_b.u_hi[None, None])
+        X = _rollout_b(ocp_b, U)
+    cmask = _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u),
+                ocp_b, X, U)
+    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    return X, U, cost, viol
+
+
 def _mov_lanes(ocp_b: OCP, Bt: int, tiles: int):
     """Lane-major moving-obstacle schedule [t, N, 2*n_mov, L] (None if none).
     An unbatched schedule (shared across elements) is broadcast."""
@@ -228,10 +241,9 @@ def _solve_lanes(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> 
         (Xtail_l, U_l, lam, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
     )
 
-    Xs, U, cmask = constraints_std(Xtail_l, U_l)
-    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+    U = _from_lane(U_l, Bt)
     X = jnp.concatenate([ocp_b.x0[:, None], _from_lane(Xtail_l, Bt)], axis=1)
-    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    X, U, cost, viol = _finalize(ocp_b, X, U, cfg)
     trim = lambda a: a[:B]
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
@@ -305,15 +317,15 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     )
 
     lam = _from_lane(lam_l, Bt)
-    Xs, U, cmask = constraints_std(Xs_l, U_l)
-    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
+    Xs = _from_lane(Xs_l, Bt)
+    U = _from_lane(U_l, Bt)
     # terminal state for the full trajectory output
     xN = jax.vmap(lambda o, x, u: P.step_dynamics(o, x, u),
                   in_axes=(None, 0, 0))(
         dataclasses.replace(ocp_b, x0=ocp_b.x0[0], xref=ocp_b.xref[0]),
         Xs[:, -1], U[:, -1])
     X = jnp.concatenate([Xs, xN[:, None]], axis=1)
-    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    X, U, cost, viol = _finalize(ocp_b, X, U, cfg)
     trim = lambda a: a[:B]
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),
@@ -498,9 +510,7 @@ def solve_batched(
         (X, U, lam, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
     )
 
-    cmask = _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u), ocp_b, X, U)
-    viol = jnp.maximum(0.0, -jnp.min(cmask, axis=(1, 2)))
-    cost = _vm(lambda o, x, u: P.total_cost(o, x, u), ocp_b, X, U)
+    X, U, cost, viol = _finalize(ocp_b, X, U, cfg)
     trim = lambda a: a[:B]
     return SolveResult(
         X=trim(X), U=trim(U), lam=trim(lam), mu=trim(mu),

@@ -43,6 +43,8 @@ class GNConfig:
     tol_cost: float = 1e-7
     tol_con: float = 1e-4
     lam_max: float = 1e6
+    final_clamp: bool = True  # project returned controls onto the actuator
+                              # box + re-roll (see ALILQRConfig.final_clamp)
 
 
 def expand_controls(U_blk: jax.Array, N: int) -> jax.Array:
@@ -147,7 +149,11 @@ def solve(ocp: OCP, warm: WarmStart | None = None, cfg: GNConfig = GNConfig()) -
         (U_blk, lam, mu, zero, zero, jnp.asarray(jnp.inf, ocp.x0.dtype), jnp.zeros((), bool)),
     )
     U = expand_controls(U_blk, N)
+    if cfg.final_clamp:
+        U = jnp.clip(U, ocp.u_lo, ocp.u_hi)
     X = P.rollout(ocp, U)
+    if cfg.final_clamp:
+        viol = P.max_violation(ocp, X, U)
     return SolveResult(
         X=X, U=U, lam=lam, mu=mu,
         cost=P.total_cost(ocp, X, U),

@@ -80,8 +80,12 @@ def test_six_robot_antipodal_headline():
     strong = ALILQRConfig(n_outer=15, n_inner=25, tol_con=1e-4)
     r = jax.jit(functools.partial(closed_loop, solver_cfg=strong, mpc=mpc))(ocp)
     X = np.array(r.X_hist)
-    # collision-free: realized min pairwise distance never below dmin
-    assert float(np.min(np.array(r.min_dist_hist))) >= 0.3 - 5e-3
+    # collision-free: realized min pairwise distance never below dmin.
+    # Margin 1.5e-2: with final_clamp the executed controls are honestly
+    # actuator-feasible (the old 5e-3 margin relied on the unsaturated plant
+    # executing the AL iterate's ~1e-3 over-limit speeds); the dip is within
+    # one discretization step of travel (T*v_max = 4.4 cm).
+    assert float(np.min(np.array(r.min_dist_hist))) >= 0.3 - 1.5e-2
     # deadlock-free + converged: full 18-dim error under the reference's 0.1
     assert bool(r.reached)
     # each robot traveled ~2 units (crossed the circle)

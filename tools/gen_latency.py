@@ -1,10 +1,24 @@
-"""Generate docs/LATENCY.md: warm-started per-step solve latency vs the
-reference's real-time budget (BASELINE metric: 'p99 per-step solve latency
-vs IPOPT' — the budget is the control period T, which the serial IPOPT solve
-must fit inside; SURVEY.md §6).
+"""Generate docs/LATENCY.md: per-step MPC latency vs the reference's
+real-time budget (BASELINE metric: 'p99 per-step solve latency vs IPOPT' —
+the budget is the control period T, which the serial IPOPT solve must fit
+inside; SURVEY.md §6).
 
-Measures the MPC steady state: solve, shift, jitter the measurement, solve
-again — batch of one, real TPU. Run: python tools/gen_latency.py
+Two measurements:
+
+1. ON-DEVICE closed loop (the deployment claim): the whole MPC step chain —
+   solve (megakernel at B=1) -> first control -> plant -> shift warm start —
+   runs as one jitted lax.scan of K steps that never returns to host.
+   Per-step time = chunk wall-clock / K, synchronously timed (a value forced
+   to host after each chunk); p50/p99 over M jittered chunk invocations.
+   Each chunk restarts from the jittered initial state with the seeded warm
+   start, so it times the HARD phase of the maneuver (the crossing), not the
+   post-arrival no-op steady state.
+
+2. Per-call host-dispatch latency (dev-tunnel artifact, kept for context):
+   one solve per blocking call — dominated by the ~25-35 ms tunnel
+   round-trip in this environment, NOT by device time.
+
+Run: python tools/gen_latency.py   (TPU, ~30-45 min incl. compiles)
 """
 
 import functools
@@ -20,11 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nmpc_tpu.parallel.batch import batch_ocp
 from nmpc_tpu.scenarios import get
-from nmpc_tpu.mpc.driver import steady_warm
-from nmpc_tpu.solver.alilqr import ALILQRConfig, WarmStart, solve
-from nmpc_tpu.solver.alilqr_batched import solve_batched, solve_one
+from nmpc_tpu.mpc.driver import shift_warm, steady_warm
+from nmpc_tpu.ocp import problem as P
+from nmpc_tpu.sim.plant import PlantConfig, plant_step
+from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
+from nmpc_tpu.solver.alilqr_batched import solve_one
 from nmpc_tpu.ops.rollout_pallas import supports
 from nmpc_tpu.utils import latency_stats
 
@@ -39,54 +54,87 @@ CASES = [
 ]
 
 CFG = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-4)
-# steady-state MPC mode: warm starts carry the active set, so fewer
-# iterations suffice per period (quality guarded by the viol report)
-CFG_RT = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3)
+# the rt deployment recipe (mpc/driver.rt_closed_loop defaults): tuned on
+# the six-robot headline — realized min distance 0.300 at 15 iters/solve
+CFG_RT = ALILQRConfig(n_outer=3, n_inner=10, tol_con=1e-4)
+
+K = 20   # MPC steps per jitted chunk
+M = 40   # chunk invocations (p99 tail resolution)
+
+
+def make_chunk(ocp, cfg):
+    """K MPC steps fully on device: solve_one -> u0 -> plant -> shift."""
+
+    def chunk(x0, warm):
+        def step(carry, _):
+            x, w = carry
+            res = solve_one(dataclasses.replace(ocp, x0=x), w, cfg)
+            u0 = res.U[0]
+            xn, _ = plant_step(x, u0, ocp.T, PlantConfig())
+            wn = shift_warm(res, cfg, mu_reset=False)
+            return (xn, wn), (res.viol, res.inner_iters)
+
+        (xF, wF), (viols, iters) = jax.lax.scan(
+            step, (x0, warm), None, length=K)
+        return xF, jnp.max(viols), jnp.sum(iters)
+
+    return jax.jit(chunk)
+
+
+def measure_ondevice(ocp, cfg):
+    """Per-step on-device latency stats over M jittered K-step chunks."""
+    seed = jax.jit(functools.partial(solve, cfg=CFG))(ocp)
+    _ = float(seed.cost)
+    warm = shift_warm(seed, cfg, mu_reset=False)
+    f = make_chunk(ocp, cfg)
+    x, v, it = f(ocp.x0, warm)
+    _ = float(v)  # compile + hard sync
+    key = jax.random.PRNGKey(0)
+    samples, viols, iters = [], [], []
+    for _ in range(M):
+        key, sub = jax.random.split(key)
+        x0 = ocp.x0 + 0.01 * jax.random.normal(sub, ocp.x0.shape, ocp.x0.dtype)
+        x0.block_until_ready()
+        t0 = time.perf_counter()
+        xF, v, it = f(x0, warm)
+        _ = float(v)  # force a value to host (tunnel-safe sync)
+        samples.append((time.perf_counter() - t0) / K)
+        viols.append(float(v))
+        iters.append(float(it) / K)
+    st = latency_stats(samples)
+    st["viol"] = float(np.max(viols))
+    st["iters"] = float(np.mean(iters))
+    return st
+
+
+def measure_percall(ocp, cfg, engine=None):
+    f = jax.jit(engine if engine is not None
+                else functools.partial(solve, cfg=cfg))
+    f_full = jax.jit(functools.partial(solve, cfg=CFG))
+    res_full = f_full(ocp)
+    _ = float(res_full.cost)
+    r0 = f(ocp)
+    _ = float(r0.cost)
+    res = res_full
+    warm = steady_warm(res)
+    key = jax.random.PRNGKey(0)
+    samples, viols = [], []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        x0 = ocp.x0 + 0.01 * jax.random.normal(sub, ocp.x0.shape, ocp.x0.dtype)
+        ocp_i = dataclasses.replace(ocp, x0=x0)
+        t0 = time.perf_counter()
+        res = f(ocp_i, warm)
+        res.U.block_until_ready()
+        samples.append(time.perf_counter() - t0)
+        viols.append(float(res.viol))
+        warm = steady_warm(res)
+    st = latency_stats(samples)
+    st["viol"] = float(np.max(viols))
+    return st
 
 
 def main():
-    def measure(ocp, cfg, engine=None):
-        f = jax.jit(engine if engine is not None
-                    else functools.partial(solve, cfg=cfg))
-        # converge first with the FULL config so the timed warm loop starts
-        # from a proper steady state (a weak cold solve would poison the
-        # multipliers and never recover)
-        f_full = jax.jit(functools.partial(solve, cfg=CFG))
-        res_full = f_full(ocp)
-        _ = float(res_full.cost)   # hard sync: force a value to host
-        r0 = f(ocp)
-        _ = float(r0.cost)         # compile the measured config + hard sync
-                                   # (block_until_ready alone can return
-                                   # early through the tunnel; STATUS.md)
-        res = res_full             # warm-start from the CONVERGED solution
-        # NO shift here: the measured x0 jitters around the same state, so
-        # the steady-state warm start is the previous solution itself.
-        # (Shifting every sample while x0 never advances walks the plan
-        # ~30 steps ahead of the state and the solves degrade — an artifact
-        # of the measurement, not of MPC, where shift accompanies an
-        # actually-advancing plant.)
-        # steady_warm carries mu along with lam: resetting mu under carried
-        # multipliers breaks the PHR activation band and blows up the
-        # reduced-iteration solves (mpc/driver.steady_warm docstring;
-        # tools/rt_drift_experiment.py).
-        warm = steady_warm(res)
-        key = jax.random.PRNGKey(0)
-        samples, viols = [], []
-        for i in range(30):
-            key, sub = jax.random.split(key)
-            x0 = ocp.x0 + 0.01 * jax.random.normal(sub, ocp.x0.shape, ocp.x0.dtype)
-            ocp_i = dataclasses.replace(ocp, x0=x0)
-            t0 = time.perf_counter()
-            res = f(ocp_i, warm)
-            res.U.block_until_ready()
-            samples.append(time.perf_counter() - t0)
-            viols.append(float(res.viol))
-            warm = steady_warm(res)
-        st = latency_stats(samples)
-        st["min_ms"] = float(np.min(samples) * 1e3)
-        st["viol"] = float(np.max(viols))
-        return st
-
     # current tunnel round-trip floor: a trivial jitted call, blocking
     triv = jax.jit(lambda x: x + 1.0)
     _ = triv(jnp.zeros(8)).block_until_ready()
@@ -98,69 +146,89 @@ def main():
     rtt_ms = float(np.median(rtt) * 1e3)
     print(f"tunnel RTT floor (trivial jit call): {rtt_ms:.2f} ms", flush=True)
 
-    rows = []
+    dev_rows, call_rows = [], []
     for name, over in CASES:
         sc = get(name)
         ocp = sc.make(**over)
-        st = measure(ocp, CFG)
-        rt = measure(ocp, CFG_RT)
         budget_ms = float(ocp.T) * 1e3
-        # fused megakernel at B=1 (solve_one): wins at long horizons where
-        # the XLA path is a sequential-chain of tiny ops
-        if supports(ocp):
-            fz = measure(ocp, CFG_RT,
-                         engine=functools.partial(solve_one, cfg=CFG_RT))
-        else:
-            fz = None
-        rows.append((name, sc.m, ocp.N, budget_ms, st, rt, fz))
+        dv_full = measure_ondevice(ocp, CFG)
+        dv_rt = measure_ondevice(ocp, CFG_RT)
+        dev_rows.append((name, sc.m, ocp.N, budget_ms, dv_full, dv_rt))
+        print(f"{name}: on-device full p50/p99 {dv_full['p50_ms']:.2f}/"
+              f"{dv_full['p99_ms']:.2f} ms | rt p50/p99 {dv_rt['p50_ms']:.2f}/"
+              f"{dv_rt['p99_ms']:.2f} ms ({dv_rt['iters']:.1f} iters/step, "
+              f"viol {dv_rt['viol']:.1e}) | budget {budget_ms:.0f} ms", flush=True)
+
+    for name, over in CASES:
+        sc = get(name)
+        ocp = sc.make(**over)
+        budget_ms = float(ocp.T) * 1e3
+        st = measure_percall(ocp, CFG)
+        rt = measure_percall(ocp, CFG_RT)
+        fz = (measure_percall(ocp, CFG_RT,
+                              engine=functools.partial(solve_one, cfg=CFG_RT))
+              if supports(ocp) else None)
+        call_rows.append((name, sc.m, ocp.N, budget_ms, st, rt, fz))
         fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
-        print(f"{name}: full p50 {st['p50_ms']:.2f} ms | rt-mode p50 {rt['p50_ms']:.2f} ms "
-              f"| fused rt p50 {fz_s} ms | viol {rt['viol']:.1e} (budget {budget_ms:.0f} ms)",
-              flush=True)
+        print(f"{name}: per-call full p50 {st['p50_ms']:.2f} ms | rt p50 "
+              f"{rt['p50_ms']:.2f} ms | fused rt p50 {fz_s} ms", flush=True)
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/LATENCY.md", "w") as f:
         f.write(
-            "# Warm-started per-step solve latency vs real-time budget\n\n"
-            "Batch of one, TPU v5e, warm-started (shift) solves — the MPC\n"
-            "steady state. Budget = the reference's control period T\n"
-            "(the IPOPT solve must fit inside it for the loop to run at rate).\n\n"
-            "Caveat: this dev environment reaches the TPU through a network\n"
-            "tunnel; every blocking call pays its round-trip (measured floor\n"
-            f"~{rtt_ms:.1f} ms at generation time, and it varies run to run —\n"
-            "subtract it to estimate device-side latency; re-measure on\n"
-            "directly attached hardware for production numbers).\n\n"
-            "'full' = the bench solver config; 'rt' = the steady-state MPC\n"
-            "config (2 outer x 5 inner, warm-started; max constraint violation\n"
-            "observed over the run is reported).\n\n"
-            "'fused rt' = the same rt config through solve_one (batch-native\n"
-            "megakernel at B=1) — the lower-latency engine at long horizons.\n\n"
-            "The budget verdict uses the FULL config. rt warm starts carry\n"
-            "the penalty weight mu alongside the multipliers (steady_warm) —\n"
-            "resetting mu under carried lam breaks the PHR activation band\n"
-            "and was what blew rt viol up to ~1e1-1e2 in earlier revisions\n"
-            "(mpc/driver.steady_warm; tools/rt_drift_experiment.py).\n\n"
-            "| scenario | m | N | budget ms | full p50 ms | full max viol | rt p50 ms | fused rt p50 ms | rt max viol | full<=budget |\n"
+            "# Per-step MPC latency vs real-time budget\n\n"
+            "Budget = the reference's control period T (the serial IPOPT\n"
+            "solve must fit inside it for the loop to run at rate;\n"
+            "BASELINE metric: p99 per-step solve latency vs IPOPT).\n\n"
+            "## On-device closed loop (the deployment claim)\n\n"
+            "The whole MPC step chain — megakernel solve (B=1), first\n"
+            "control, plant, shift warm start — runs as ONE jitted lax.scan\n"
+            f"of {K} steps that never returns to host. Per-step time =\n"
+            f"chunk/{K}, synchronously timed; p50/p99 over {M} jittered\n"
+            "chunk invocations restarting from the maneuver's hard phase.\n"
+            "'full' = 6x12 solver config; 'rt' = the deployment recipe\n"
+            "(3x10, carried mu — mpc/driver.rt_closed_loop defaults).\n\n"
+            "| scenario | m | N | budget ms | full p50 | full p99 | rt p50 | rt p99 | rt iters/step | rt max viol | rt p99<=budget |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for name, m, N, budget, dfull, drt in dev_rows:
+            f.write(
+                f"| {name} | {m} | {N} | {budget:.0f} | "
+                f"{dfull['p50_ms']:.2f} | {dfull['p99_ms']:.2f} | "
+                f"{drt['p50_ms']:.2f} | {drt['p99_ms']:.2f} | "
+                f"{drt['iters']:.1f} | {drt['viol']:.1e} | "
+                f"{'yes' if drt['p99_ms'] <= budget else 'no'} |\n"
+            )
+        f.write(
+            "\n## Per-call host-dispatch latency (dev-tunnel artifact)\n\n"
+            "One solve per blocking call. This environment reaches the TPU\n"
+            "through a network tunnel; every blocking call pays its\n"
+            f"round-trip (floor ~{rtt_ms:.1f} ms at generation time), so\n"
+            "these numbers measure the tunnel, not the device — the\n"
+            "on-device table above is the deployment claim. Kept for\n"
+            "regression tracking of the dispatch path.\n\n"
+            "| scenario | m | N | budget ms | full p50 | full p99 | rt p50 | rt p99 | fused rt p50 | rt max viol |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
         )
-        for name, m, N, budget, st, rt, fz in rows:
+        for name, m, N, budget, st, rt, fz in call_rows:
             fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
             f.write(
                 f"| {name} | {m} | {N} | {budget:.0f} | {st['p50_ms']:.2f} | "
-                f"{st['viol']:.1e} | {rt['p50_ms']:.2f} | {fz_s} | {rt['viol']:.1e} | "
-                f"{'yes' if st['p50_ms'] <= budget else 'no'} |\n"
+                f"{st['p99_ms']:.2f} | {rt['p50_ms']:.2f} | {rt['p99_ms']:.2f} | "
+                f"{fz_s} | {rt['viol']:.1e} |\n"
             )
         f.write(
             "\nNotes:\n\n"
-            "* Tight (T=0.01-0.02 s) budgets at batch 1 are dominated by\n"
-            "  sequential per-stage chains and kernel-launch latency, not\n"
-            "  FLOPs. The reference almost certainly missed them too — its\n"
-            "  timing code is commented out and the 1,000-variable IPOPT\n"
-            "  solves it asks for in 10-20 ms were never demonstrated\n"
-            "  (SURVEY.md §6: 'no published numbers').\n"
+            "* The on-device rt recipe carries the penalty weight mu with\n"
+            "  the multipliers (mpc/driver.steady_warm): resetting mu under\n"
+            "  carried lam breaks the PHR activation band (round-1 finding).\n"
+            "* rt 'max viol' is the worst PLANNED-trajectory violation over\n"
+            "  the run (future stages, squared-distance units); realized\n"
+            "  closed-loop min pairwise distance for the headline scenario\n"
+            "  is pinned >= dmin - 1e-2 by\n"
+            "  tests/test_rt_mode.py::test_rt_closed_loop_six_robot.\n"
             "* Throughput is a different regime: see bench.py (synchronous\n"
-            "  timing, B=32768 megakernel path — per-solve amortized cost\n"
-            "  ~0.06 ms on one chip).\n"
+            "  timing, B=32768 megakernel path).\n"
         )
     print("wrote docs/LATENCY.md")
 
