@@ -114,6 +114,46 @@ def qp_solve(
     return x, y, iters, done, prim
 
 
+def qp_setup_batched(P, A, cfg: ADMMConfig = ADMMConfig(), l=None, u=None):
+    """Batched `qp_setup`: P may be shared [n, n] or batched [B, n, n]; A is
+    batched [B, rows, n] (the LTV case — the reference re-linearizes Bd and
+    re-runs OSQP setup every control period, mpc_osqp_test.py:88-121). The
+    B Cholesky factorizations run as one batched MXU call."""
+    in_p = 0 if P.ndim == 3 else None
+    in_l = None if l is None else (0 if l.ndim == 2 else None)
+    in_u = None if u is None else (0 if u.ndim == 2 else None)
+    return jax.vmap(
+        lambda p, a, ll, uu: qp_setup(p, a, cfg, ll, uu),
+        in_axes=(in_p, 0, in_l, in_u),
+    )(P, A, l, u)
+
+
+def qp_solve_batched(fac: QPFactor, q, l, u, cfg: ADMMConfig = ADMMConfig(),
+                     x0=None, y0=None):
+    """Fleet entry: solve B QPs in one call — every ADMM iteration is a
+    batched GEMM + batched triangular solve on the MXU. `fac` may be shared
+    (one factorization, leaves [n, n] / [rows, n]) or per-element (batched
+    leaves from `qp_setup_batched`). q/l/u are [B, ...]; optional warm
+    starts are batched. Returns the same tuple as `qp_solve`, batched."""
+    fax = QPFactor(chol=0, A=0, P=0, rho=0) if fac.A.ndim == 3 else None
+    if x0 is None and y0 is None:
+        return jax.vmap(
+            lambda f, qq, ll, uu: qp_solve(f, qq, ll, uu, cfg),
+            in_axes=(fax, 0, 0, 0),
+        )(fac, q, l, u)
+    B = q.shape[0]
+    n = fac.A.shape[-1]
+    rows = fac.A.shape[-2]
+    if x0 is None:
+        x0 = jnp.zeros((B, n), q.dtype)
+    if y0 is None:
+        y0 = jnp.zeros((B, rows), q.dtype)
+    return jax.vmap(
+        lambda f, qq, ll, uu, xx, yy: qp_solve(f, qq, ll, uu, cfg, xx, yy),
+        in_axes=(fax, 0, 0, 0, 0, 0),
+    )(fac, q, l, u, x0, y0)
+
+
 def build_ltv_mpc_qp(Ad, Bd, Qd, Rd, QNd, N, x_lo, x_hi, u_lo, u_hi):
     """Assemble the reference's sparse LTV-MPC QP structure densely
     (mpc_osqp_test.py:104-114, sparse.kron layout):

@@ -124,3 +124,41 @@ def test_siso_process_mpc_closed_loop():
     assert abs(us[-1] - setpoint / K_g) < 5e-2
     # respects input box throughout
     assert np.abs(np.array(us)).max() <= 1.5 + 1e-3
+
+
+def test_qp_batched_entry_matches_per_element():
+    """qp_setup_batched + qp_solve_batched (the fleet entry, VERDICT weak #8)
+    must reproduce per-element qp_setup/qp_solve exactly, for both a shared
+    and a per-element (LTV) factorization."""
+    from nmpc_tpu.solver.admm import qp_setup_batched, qp_solve_batched
+
+    rng = np.random.default_rng(2)
+    n, mrows, B = 6, 9, 4
+    M = rng.normal(size=(n, n))
+    P = jnp.asarray(M @ M.T + np.eye(n), jnp.float32)
+    A0 = jnp.asarray(rng.normal(size=(mrows, n)), jnp.float32)
+    qs = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+    ls = jnp.full((B, mrows), -1.0, jnp.float32)
+    us = jnp.full((B, mrows), 1.0, jnp.float32)
+    cfg = ADMMConfig(max_iter=500)
+
+    # shared factorization
+    fac = qp_setup(P, A0, cfg)
+    xb, yb, itb, doneb, primb = jax.jit(
+        functools.partial(qp_solve_batched, cfg=cfg))(fac, qs, ls, us)
+    for i in range(B):
+        xi, *_ = qp_solve(fac, qs[i], ls[i], us[i], cfg)
+        np.testing.assert_allclose(np.array(xb[i]), np.array(xi), atol=1e-6)
+    assert bool(jnp.all(doneb))
+
+    # per-element (LTV-style) factorizations
+    As = jnp.stack([A0 + 0.01 * i for i in range(B)])
+    facb = jax.jit(functools.partial(qp_setup_batched, cfg=cfg))(
+        P, As, l=ls, u=us)
+    xb2, _, _, done2, prim2 = jax.jit(
+        functools.partial(qp_solve_batched, cfg=cfg))(facb, qs, ls, us)
+    for i in range(B):
+        fi = qp_setup(P, As[i], cfg, l=ls[i], u=us[i])
+        xi, *_ = qp_solve(fi, qs[i], ls[i], us[i], cfg)
+        np.testing.assert_allclose(np.array(xb2[i]), np.array(xi), atol=1e-6)
+    assert bool(jnp.all(done2))
