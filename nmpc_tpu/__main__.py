@@ -41,6 +41,46 @@ def cmd_run(args) -> int:
     sc = get(args.scenario)
     ocp = sc.make()
     solver_cfg = ALILQRConfig(n_outer=12, n_inner=20, tol_con=1e-4)
+
+    if args.mode != "central":
+        # robot-parallel architectures: per-robot subproblems + plan
+        # exchange (decentralized: one stale-plan Jacobi round per period;
+        # consensus: jointly-converged rounds each period)
+        if sc.m < 2 or sc.waypoints:
+            print(f"--mode {args.mode} needs a multi-robot point-goal "
+                  f"scenario; {args.scenario} is m={sc.m}"
+                  f"{' waypoints' if sc.waypoints else ''}", file=sys.stderr)
+            return 2
+        import numpy as np
+
+        goals = ocp.xref[-1].reshape(sc.m, 3)
+        kw = dict(N=ocp.N, T=float(ocp.T), dmin=sc.dmin,
+                  max_steps=args.steps, stop_tol=sc.stop_tol,
+                  cfg=ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-4))
+        t0 = time.time()
+        if args.mode == "decentralized":
+            from nmpc_tpu.parallel.decentralized import decentralized_closed_loop
+
+            X, U, mind, done = jax.jit(functools.partial(
+                decentralized_closed_loop, **kw))(ocp.x0, goals)
+        else:
+            from nmpc_tpu.parallel.consensus import consensus_closed_loop
+
+            X, U, mind, done = jax.jit(functools.partial(
+                consensus_closed_loop, **kw))(ocp.x0, goals)
+        X.block_until_ready()
+        wall = time.time() - t0
+        print(f"scenario      {args.scenario} ({args.mode} mode, m={sc.m}, "
+              f"N={ocp.N}, T={float(ocp.T):g})")
+        print(f"reached       {bool(done)}")
+        print(f"min pair dist {float(np.min(np.asarray(mind))):.4f} "
+              f"(dmin={sc.dmin})")
+        print(f"wall clock    {wall:.1f} s (compile + {args.steps} steps)")
+        if args.save:
+            np.savez(args.save, X_hist=np.asarray(X), U_hist=np.asarray(U),
+                     min_dist_hist=np.asarray(mind))
+            print(f"saved         {args.save}")
+        return 0 if bool(done) else 1
     solve_fn = None
     engine = args.engine
     if engine == "auto":
@@ -113,6 +153,13 @@ def main(argv=None) -> int:
                       help="real-time mode: full-strength seed solve, then "
                            "reduced-iteration (2x5) warm solves with carried "
                            "mu each period (point-goal scenarios)")
+    runp.add_argument("--mode", choices=("central", "decentralized", "consensus"),
+                      default="central",
+                      help="multi-robot architecture: one joint NLP "
+                           "(central), per-robot subproblems with one "
+                           "stale-plan exchange round per period "
+                           "(decentralized), or robot-parallel jointly-"
+                           "converged rounds per period (consensus)")
     runp.add_argument("--engine", choices=("auto", "ilqr", "fused", "gn"),
                       default="auto",
                       help="NLP engine: per-scenario AL-iLQR, batch-native "

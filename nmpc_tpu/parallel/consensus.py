@@ -85,6 +85,7 @@ def consensus_solve(
     warms: WarmStart | None = None,
     plans: jax.Array | None = None,
     engine: str = "fused",
+    rh_bias: float = 0.0,
 ):
     """Joint solve on one program: robots ride the batch axis (fused
     megakernel lanes, or vmap of the per-scenario solver with
@@ -94,6 +95,13 @@ def consensus_solve(
     delta_hist [rounds]). `warms`/`plans` allow MPC-step warm starting;
     viol_hist is the joint duplicated-pair violation of each round's raw
     (undamped) iterate — its tail is the convergence certificate.
+
+    rh_bias > 0 applies the right-hand traffic rule (each robot perceives
+    neighbors shifted to its own left; see `decentralized_step`): EXACTLY
+    symmetric conflicts make the symmetric Jacobi iteration stall on the
+    reciprocal saddle the same way they deadlock the reference's joint
+    solve absent Gazebo noise. Leave 0 for joint-KKT parity; the caller
+    must inflate the template's dmin by rh_bias to protect the true margin.
     """
     m = goals.shape[0]
     N = template.N
@@ -114,6 +122,11 @@ def consensus_solve(
     def solve_round(plans_k, wU, wlam, wmu):
         # stage-k keep-out = neighbor's plan at stage k (joint-row semantics)
         mov = jnp.swapaxes(plans_k[nbr][:, :, :N, :], 1, 2)  # [m, N, m-1, 2]
+        if rh_bias:
+            rel = mov - poses[:, None, None, :2]
+            nrm = jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True) + 1e-9)
+            left = jnp.stack([-rel[..., 1], rel[..., 0]], axis=-1) / nrm
+            mov = mov + rh_bias * left
         w = WarmStart(U=wU, lam=wlam, mu=wmu)
         if use_fused:
             ocp_b = dataclasses.replace(
@@ -143,6 +156,106 @@ def consensus_solve(
     return X_f, U_f, WarmStart(U=U_f, lam=lam_f, mu=mu_f), plans_f, violh, deltah
 
 
+def consensus_closed_loop(
+    x0_joint: jax.Array,     # [3m]
+    goals: jax.Array,        # [m, 3]
+    N: int,
+    T: float,
+    dmin: float,
+    rounds: int = 3,
+    max_steps: int = 200,
+    stop_tol: float = 1e-1,
+    cfg: ALILQRConfig = ALILQRConfig(),
+    damping: float = 0.5,
+    v_max: float = 0.22,
+    omega_max: float = 2.84,
+    escape: bool = True,
+    engine: str = "fused",
+    rh_bias: float = 0.1,
+):
+    """Closed-loop MPC with the robot-parallel JOINT solve per step: each
+    control period runs `rounds` consensus rounds warm-started from the
+    previous step's shifted plans/duals (shift = drop first, repeat last —
+    the reference shift(), six-robot file :90-99), executes the first joint
+    control, and advances the plant. Unlike `decentralized_closed_loop`
+    (one stale-plan Jacobi round per period) every executed control comes
+    from a jointly-converged iterate, so the realized clearance matches the
+    centralized driver's.
+
+    Returns (X_hist [S+1, 3m], U_hist [S, 2m], min_dist_hist [S+1], reached).
+    """
+    from nmpc_tpu.sim.plant import PlantConfig, plant_step
+
+    m = goals.shape[0]
+    # keep-out inflated by rh_bias so the perception shift cannot eat into
+    # the true dmin margin (same convention as decentralized_closed_loop)
+    template = robot_template(N, T, dmin + rh_bias, m, v_max, omega_max,
+                              dtype=x0_joint.dtype)
+    goal_joint = goals.reshape(3 * m)
+
+    def min_dist(x):
+        p = x.reshape(m, 3)[:, :2]
+        d2 = jnp.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+        d2 = d2 + jnp.eye(m, dtype=x.dtype) * 1e9
+        return jnp.sqrt(jnp.min(d2))
+
+    def step(carry, _):
+        x, plans, wU, wlam, wmu, done, steps, esc = carry
+        err = jnp.linalg.norm(x - goal_joint)
+        done = done | (err <= stop_tol)
+        X, U, warms, plans_new, _violh, _ = consensus_solve(
+            template, x, goals, cfg, rounds=rounds, damping=damping,
+            warms=WarmStart(U=wU, lam=wlam, mu=wmu), plans=plans,
+            engine=engine, rh_bias=rh_bias)
+        u_joint = U[:, 0, :].reshape(2 * m)
+        if escape:
+            import dataclasses as _dc
+
+            from nmpc_tpu.mpc.driver import MPCConfig, _escape_control
+
+            mpc_like = MPCConfig(stop_tol=stop_tol, escape=True)
+            joint_tpl = _dc.replace(
+                template,
+                m=m,
+                n_mov=0,
+                collision=True,  # arms the escape clearance gate (n_pairs>0)
+                x0=x,
+                xref=jnp.tile(goal_joint[None], (N, 1)),
+                Qdiag=jnp.tile(template.Qdiag, m),
+                Rdiag=jnp.tile(template.Rdiag, m),
+                u_lo=jnp.tile(template.u_lo, m),
+                u_hi=jnp.tile(template.u_hi, m),
+                x_lo=jnp.tile(template.x_lo, m),
+                x_hi=jnp.tile(template.x_hi, m),
+                mov_obs=jnp.zeros((N, 0, 2), x.dtype),
+            )
+            u_joint, esc = _escape_control(
+                joint_tpl, mpc_like, x, goal_joint, u_joint, esc, done)
+        u_joint = jnp.where(done, 0.0, u_joint)
+        x_next, _ = plant_step(x, u_joint, template.T, PlantConfig())
+        x_next = jnp.where(done, x, x_next)
+        # reference shift(): drop the executed stage, repeat the last; mu
+        # carries (steady-warm — resetting it under carried lam breaks PHR)
+        U_sh = jnp.concatenate([warms.U[:, 1:], warms.U[:, -1:]], axis=1)
+        lam_sh = jnp.concatenate([warms.lam[:, 1:], warms.lam[:, -1:]], axis=1)
+        plans_sh = jnp.concatenate([plans_new[:, 1:], plans_new[:, -1:]], axis=1)
+        carry_new = (x_next, plans_sh, U_sh, lam_sh, warms.mu, done,
+                     steps + jnp.where(done, 0, 1), esc)
+        return carry_new, (x_next, u_joint, min_dist(x_next))
+
+    poses0 = x0_joint.reshape(m, 3)
+    warms0 = jax.vmap(lambda _: cold_start(template, cfg))(jnp.arange(m))
+    plans0 = _plans_cold(poses0, N)
+    carry0 = (x0_joint, plans0, warms0.U, warms0.lam, warms0.mu,
+              jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+              jnp.zeros((m,), bool))
+    (xF, *_, done, steps, _), (X_t, U_t, mind_t) = jax.lax.scan(
+        step, carry0, None, length=max_steps)
+    X_hist = jnp.concatenate([x0_joint[None], X_t], axis=0)
+    mind = jnp.concatenate([min_dist(x0_joint)[None], mind_t], axis=0)
+    return X_hist, U_t, mind, done
+
+
 def consensus_solve_sharded(
     mesh: Mesh,
     template: OCP,
@@ -150,6 +263,7 @@ def consensus_solve_sharded(
     rounds: int = 10,
     damping: float = 0.5,
     axis: str = "robots",
+    rh_bias: float = 0.0,
 ):
     """shard_map form of `consensus_solve`: robots sharded over `axis`, one
     `all_gather` per round for the plan exchange (the cross-chip constraint
@@ -180,6 +294,13 @@ def consensus_solve_sharded(
                 # roll self to slot 0, drop it -> the m-1 neighbor plans
                 others = jnp.roll(all_plans, -i_glob, axis=0)[1:]
                 mov = jnp.swapaxes(others[:, :N, :], 0, 1)  # [N, m-1, 2]
+                if rh_bias:
+                    rel = mov - x0_i[None, None, :2]
+                    nrm = jnp.sqrt(
+                        jnp.sum(rel * rel, axis=-1, keepdims=True) + 1e-9)
+                    left = jnp.stack(
+                        [-rel[..., 1], rel[..., 0]], axis=-1) / nrm
+                    mov = mov + rh_bias * left
                 ocp_i = dataclasses.replace(
                     template, x0=x0_i, xref=xref_i, mov_obs=mov)
                 return solve(ocp_i, w_i, cfg)

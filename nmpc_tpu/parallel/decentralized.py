@@ -174,6 +174,7 @@ def decentralized_closed_loop(
                 template,
                 m=m,
                 n_mov=0,
+                collision=True,  # arms the escape clearance gate (n_pairs>0)
                 x0=x,
                 xref=jnp.tile(goal_joint[None], (N, 1)),
                 Qdiag=jnp.tile(template.Qdiag, m),

@@ -83,11 +83,12 @@ def test_consensus_sharded_matches_single_program():
     cfg = ALILQRConfig(n_outer=4, n_inner=8, tol_con=1e-3)
     tpl = robot_template(N, T, dmin, m=m)
     X1, U1, _, _, v1, d1 = jax.jit(functools.partial(
-        consensus_solve, cfg=cfg, rounds=3, damping=0.5, engine="xla"))(
-        tpl, x_joint, goals)
+        consensus_solve, cfg=cfg, rounds=3, damping=0.5, engine="xla",
+        rh_bias=0.05))(tpl, x_joint, goals)
 
     mesh = data_mesh(8, axis="robots")
-    run = consensus_solve_sharded(mesh, tpl, cfg=cfg, rounds=3, damping=0.5)
+    run = consensus_solve_sharded(mesh, tpl, cfg=cfg, rounds=3, damping=0.5,
+                                  rh_bias=0.05)
     X2, U2, _, _, v2, d2 = run(x_joint.reshape(m, 3), goals)
 
     np.testing.assert_allclose(np.array(U2), np.array(U1), atol=1e-4)
@@ -121,3 +122,37 @@ def test_consensus_six_robot_antipodal_joint_quality():
     c_cons = _joint_quad_cost(Xj, Uj, goal_j, central.Qdiag, central.Rdiag)
     c_cent = _joint_quad_cost(res_c.X, res_c.U, goal_j, central.Qdiag, central.Rdiag)
     assert c_cons <= 1.3 * c_cent + 1e-6, (c_cons, c_cent)
+
+
+def test_consensus_closed_loop_two_robot_symmetric():
+    # exactly symmetric head-on swap, solved JOINTLY each period: reaches
+    # and holds the realized clearance at the centralized driver's level
+    from nmpc_tpu.parallel.consensus import consensus_closed_loop
+
+    x0 = jnp.array([-0.7, 0.0, 0, 0.7, 0.0, np.pi], jnp.float32)
+    goals = jnp.array([[0.7, 0, 0], [-0.7, 0, np.pi]], jnp.float32)
+    X, U, mind, done = jax.jit(functools.partial(
+        consensus_closed_loop, N=30, T=0.1, dmin=0.3, rounds=3,
+        max_steps=200, engine="xla",
+        cfg=ALILQRConfig(n_outer=4, n_inner=10, tol_con=1e-4),
+    ))(x0, goals)
+    assert bool(done)
+    assert float(mind.min()) >= 0.3 - 1.5e-2
+
+
+@pytest.mark.slow
+def test_consensus_closed_loop_six_robot_antipodal():
+    # the paper headline in robot-parallel joint mode
+    from nmpc_tpu.parallel.consensus import consensus_closed_loop
+
+    sc = get("six_robot_antipodal")
+    central = sc.make(N=20)
+    goals = central.xref[-1].reshape(6, 3)
+    dmin = float(np.sqrt(float(central.dmin2)))
+    X, U, mind, done = jax.jit(functools.partial(
+        consensus_closed_loop, N=20, T=float(central.T), dmin=dmin,
+        rounds=3, max_steps=150, engine="xla",
+        cfg=ALILQRConfig(n_outer=4, n_inner=10, tol_con=1e-4),
+    ))(central.x0, goals)
+    assert bool(done)
+    assert float(mind.min()) >= dmin - 1.5e-2
