@@ -134,6 +134,61 @@ def measure_percall(ocp, cfg, engine=None):
     return st
 
 
+def measure_lidar(K: int = 20, M: int = 30):
+    """Family-I on-device closed loop: the published lidar_v4 config
+    (obs_avoid_static_first_scenario_v4.py:59-75 — N=100, Nc=50, 10 rays,
+    1/d cost, budget T=0.075 s) through mpc/lidar.closed_loop_lidar
+    (raycast -> re-seed -> frozen pObs -> condensed-GN solve -> plant) as
+    one jitted K-step scan. GN runs fixed iteration shapes, so per-step
+    cost is constant; p50/p99 over M jittered invocations."""
+    from nmpc_tpu.mpc.lidar import closed_loop_lidar
+    from nmpc_tpu.scenarios import get
+    from nmpc_tpu.solver import gn
+
+    sc = get("lidar_v4")
+    ocp = sc.make()
+    obstacles = jnp.array([[0.5, 0.25, 0.1], [0.4, -0.3, 0.12]], jnp.float32)
+    wps = jnp.asarray(sc.waypoints, jnp.float32)
+    cfg = gn.GNConfig(Nc=sc.Nc, n_gn=10, n_outer=4, tol_con=1e-3)
+    f = jax.jit(functools.partial(
+        closed_loop_lidar, sim_obstacles=obstacles, waypoints=wps,
+        cfg=cfg, max_steps=K))
+    X, U, clr, gidx, done = f(ocp)
+    _ = float(clr[0])  # compile + sync
+    key = jax.random.PRNGKey(0)
+    samples, clears = [], []
+    for _ in range(M):
+        key, sub = jax.random.split(key)
+        pose = ocp.x0[:3] + 0.02 * jax.random.normal(sub, (3,), ocp.x0.dtype)
+        x0 = jnp.concatenate([pose, ocp.x0[3:]])
+        x0.block_until_ready()
+        ocp_i = dataclasses.replace(ocp, x0=x0)
+        t0 = time.perf_counter()
+        X, U, clr, gidx, done = f(ocp_i)
+        _ = float(clr[0])
+        samples.append((time.perf_counter() - t0) / K)
+        clears.append(float(jnp.min(clr)))
+    st = latency_stats(samples)
+    st["min_clearance"] = float(np.min(clears))
+    return st
+
+
+def lidar_section(st) -> str:
+    return (
+        "\n## Family I on-device closed loop (LiDAR v4)\n\n"
+        "The published v4 config (N=100, Nc=50, 10 rays, 1/d cost,\n"
+        "obs_avoid_static_first_scenario_v4.py:59-75) through the full\n"
+        "raycast -> re-seed -> frozen-pObs -> condensed-GN -> plant chain\n"
+        "as one jitted 20-step scan (GN iteration shape is fixed, so\n"
+        "per-step cost is constant).\n\n"
+        "| scenario | budget ms | p50 | p99 | p99<=budget | min clearance |\n"
+        "|---|---|---|---|---|---|\n"
+        f"| lidar_v4 | 75 | {st['p50_ms']:.2f} | {st['p99_ms']:.2f} | "
+        f"{'yes' if st['p99_ms'] <= 75.0 else 'no'} | "
+        f"{st['min_clearance']:.3f} |\n"
+    )
+
+
 def main():
     # current tunnel round-trip floor: a trivial jitted call, blocking
     triv = jax.jit(lambda x: x + 1.0)
@@ -172,6 +227,11 @@ def main():
         fz_s = f"{fz['p50_ms']:.2f}" if fz else "-"
         print(f"{name}: per-call full p50 {st['p50_ms']:.2f} ms | rt p50 "
               f"{rt['p50_ms']:.2f} ms | fused rt p50 {fz_s} ms", flush=True)
+
+    lid = measure_lidar()
+    print(f"lidar_v4: on-device p50/p99 {lid['p50_ms']:.2f}/"
+          f"{lid['p99_ms']:.2f} ms | min clearance {lid['min_clearance']:.3f} "
+          f"| budget 75 ms", flush=True)
 
     os.makedirs("docs", exist_ok=True)
     with open("docs/LATENCY.md", "w") as f:
@@ -217,6 +277,7 @@ def main():
                 f"{st['p99_ms']:.2f} | {rt['p50_ms']:.2f} | {rt['p99_ms']:.2f} | "
                 f"{fz_s} | {rt['viol']:.1e} |\n"
             )
+        f.write(lidar_section(lid))
         f.write(
             "\nNotes:\n\n"
             "* The on-device rt recipe carries the penalty weight mu with\n"
