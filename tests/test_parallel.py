@@ -142,3 +142,22 @@ def test_decentralized_step_fused_matches_xla():
     # per-element observability survives the fused path
     assert rf.inner_iters.shape == (m,)
     assert int(jnp.min(rf.inner_iters)) >= 1
+
+
+def test_sharded_batch_on_hosts_chips_mesh():
+    """Two-level mesh (SURVEY.md §5.8: ICI within a slice, DCN across
+    hosts): the scenario batch lays out over BOTH axes with no solver
+    change — the multi-host layout is pure sharding metadata, so scaling
+    1 -> N hosts is the same program."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(2, 4), ("hosts", "chips"))
+    base = get("two_robot_swap").make(N=10)
+    ob = random_starts(base, jax.random.PRNGKey(3), 16, spread=0.05)
+    obs = shard_ocp_batch(ob, mesh, axis=("hosts", "chips"))
+    res = jax.jit(functools.partial(batched_solve, cfg=CFG))(obs)
+    assert res.U.shape == (16, 10, 4)
+    s = str(res.U.sharding)
+    assert "hosts" in s and "chips" in s
+    assert float(jnp.max(res.viol)) < 1e-3
