@@ -34,10 +34,16 @@ def main():
     run = jax.jit(functools.partial(
         solve_batched, cfg=ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-3)))
     res = run(ob)
-    res.cost.block_until_ready()  # compile
+    _ = float(res.cost[0])  # compile + force real completion
+    # fresh inputs for the timed solve: re-running IDENTICAL inputs can
+    # return almost instantly through this environment's remote-TPU tunnel
+    # and inflate the rate ~1000x (STATUS.md hardware findings)
+    ob2 = shard_ocp_batch(
+        random_starts(base, jax.random.PRNGKey(1), args.B, spread=0.1), mesh)
+    jax.block_until_ready(ob2.x0)
     t0 = time.time()
-    res = run(ob)
-    res.cost.block_until_ready()
+    res = run(ob2)
+    _ = float(res.cost[0])  # value to host = tunnel-safe sync
     dt = time.time() - t0
     print(f"devices: {len(mesh.devices.flat)}  batch: {args.B}")
     print(f"{args.B / dt:.0f} NMPC solves/s   "
