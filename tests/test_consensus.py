@@ -156,3 +156,21 @@ def test_consensus_closed_loop_six_robot_antipodal():
     ))(central.x0, goals)
     assert bool(done)
     assert float(mind.min()) >= dmin - 1.5e-2
+
+
+@pytest.mark.slow
+def test_consensus_closed_loop_ten_robot():
+    # the reference's largest joint NLP (two-row line crossing,
+    # ...ten...collision_avoidance.py:389-411) in robot-parallel joint mode
+    from nmpc_tpu.parallel.consensus import consensus_closed_loop
+
+    sc = get("ten_robot")
+    central = sc.make()
+    goals = central.xref[-1].reshape(10, 3)
+    X, U, mind, done = jax.jit(functools.partial(
+        consensus_closed_loop, N=20, T=float(central.T), dmin=sc.dmin,
+        rounds=3, max_steps=250, engine="xla",
+        cfg=ALILQRConfig(n_outer=4, n_inner=10, tol_con=1e-4),
+    ))(central.x0, goals)
+    assert bool(done)
+    assert float(mind.min()) >= sc.dmin - 1.5e-2
