@@ -184,6 +184,19 @@ _SCENARIOS = [
         notes="control horizon Nc=2 < N=5 (move blocking)",
     ),
     Scenario(
+        name="slsqp_pose_multi", family="A",
+        source="AllScripts/mpc_control_pose_multi_robot_py.py:90-114,125-155",
+        m=1, N=5, T=0.5, x0=(0, 0, 0), x_goal=(1.0, -2.0, 1.57),
+        Nc=2, v_max=0.1, omega_max=0.5, pos_bound=3.0, theta_bound=3.14,
+        stop_tol=0.075,
+        notes="despite the filename this drives ONE robot (a single "
+              "/cmd_vel publisher, :123); the loss carries a reference-"
+              "velocity term u'R(u-uref) with Vref=0 (:103,36), which "
+              "reduces to the standard u'Ru. Param-only variant of "
+              "slsqp_pose_nc: reduced limits v<=0.1, w<=0.5, state box "
+              "+-3.0 / theta +-3.14 (:110-118)",
+    ),
+    Scenario(
         name="slsqp_multigoal", family="A",
         source="AllScripts/mpc_pose_control_scipyminimizer_multiple_goals.py:97-137",
         m=1, N=20, T=0.5, x0=(0, 0, 0),

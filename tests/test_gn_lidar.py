@@ -99,6 +99,27 @@ def test_gn_closed_loop_waypoints():
     assert int(r.goal_idx_hist[-1]) >= 1
 
 
+def test_gn_closed_loop_pose_multi():
+    """slsqp_pose_multi (mpc_control_pose_multi_robot_py.py): single-robot
+    pose stabilization with Nc=2 move blocking, reduced limits v<=0.1,
+    w<=0.5, state box +-3. The reference solves it with scipy SLSQP each
+    period; here the condensed GN engine drives the point loop."""
+    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop
+
+    sc = get("slsqp_pose_multi")
+    assert sc.Nc == 2 and sc.v_max == 0.1 and sc.pos_bound == 3.0
+    ocp = sc.make()
+    cfg = gn.GNConfig(Nc=sc.Nc, n_gn=15, n_outer=6)
+    r = jax.jit(functools.partial(
+        closed_loop, mpc=MPCConfig(max_steps=120, stop_tol=sc.stop_tol),
+        solve_fn=lambda o, w: gn.solve(o, w, cfg)))(ocp)
+    x_fin = np.array(r.X_hist[-1])
+    assert np.linalg.norm(x_fin - np.array(sc.x_goal)) <= sc.stop_tol + 1e-3
+    U = np.array(r.U_hist)
+    assert np.abs(U[:, 0]).max() <= sc.v_max + 1e-4
+    assert np.abs(U[:, 1]).max() <= sc.omega_max + 1e-4
+
+
 def test_lidar_v3_closed_loop_ilqr_engine():
     """v3 semantics (obs_avoid_static_first_scenario_v3.py): full control
     horizon, no 1/d proximity cost, solved by AL-iLQR through the
