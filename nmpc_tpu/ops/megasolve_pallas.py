@@ -29,6 +29,7 @@ from nmpc_tpu.ops.rollout_pallas import (
     _P,
     _euler_rows,
     _feedback_u,
+    _merit_params,
     _pack_params,
     _stage_merit,
     supports,  # noqa: F401
@@ -63,8 +64,11 @@ def mega_fits(ocp: OCP) -> bool:
     blocks_out = (N * mc + N * n + 2) * LANES * f
     # register-spill stack of the backward-sweep body: the structured sweep
     # keeps VA/Qxx/lxx dense [n,n,T] plus the B-contraction temporaries
-    # (dense A/B and their products no longer exist)
-    spill = (4 * n * n + 3 * mc * n + 3 * mc * mc) * LANES * f
+    # (dense A/B and their products no longer exist); plus the loop-invariant
+    # _merit_params blocks (3(n+mc) + 3·m·n_obs lane rows) held for the
+    # whole solve
+    spill = (4 * n * n + 3 * mc * n + 3 * mc * mc
+             + 3 * (n + mc) + 3 * ocp.m * ocp.n_obs) * LANES * f
     estimate = scratch + spill + 2 * (blocks_in + blocks_out)
     return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
@@ -239,6 +243,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
         mu = mu_ref[0]                     # [1, T]
         x0 = x0_ref[0, 0]                  # [n, T]
         iters_ref[0] = jnp.zeros_like(mu)
+        mp = _merit_params(ocp, P, prm, mu)
 
         # ---- initial rollout of warm controls + merit ----
         def init_roll(k, carry):
@@ -248,7 +253,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
             X_s[k] = x
             cost = cost + _stage_merit(ocp, P, prm, k, x, u,
                                        xref_ref[0, k], lam_ref[0, k], mu,
-                                       mov_at(k))
+                                       mov_at(k), mp)
             return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
 
         _, cost0 = jax.lax.fori_loop(0, N, init_roll,
@@ -350,7 +355,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
                                     Kfb_s[k], alpha)
                     cost = cost + _stage_merit(ocp, P, prm, k, x, u,
                                                xref_ref[0, k], lam_ref[0, k],
-                                               mu, mov_at(k))
+                                               mu, mov_at(k), mp)
                     return (_euler_rows(ocp.m, x, u, prm[0, P.dt]), cost)
 
                 _, c = jax.lax.fori_loop(0, N, roll, (x0, jnp.zeros_like(mu)))

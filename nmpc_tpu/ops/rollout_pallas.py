@@ -96,61 +96,121 @@ def _euler_rows(nrob, x, u, dt):
     return jnp.concatenate(rows, axis=0)
 
 
-def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu, mov_k=None):
-    """Lane-major AL merit contribution of one stage.
+def _merit_params(ocp: OCP, P, prm, like):
+    """Loop-invariant lane-broadcast parameter blocks for the vectorized
+    stage merit.
+
+    Call ONCE per kernel invocation (`like` is any [1, T] lane vector, e.g.
+    mu) and close over the result in the per-stage loops: the SMEM-scalar ->
+    lane-vector broadcasts are then paid once per solve instead of once per
+    constraint row per stage per line-search candidate."""
+    n, mc, nrob = ocp.nx, ocp.nu, ocp.m
+    one = jnp.ones_like(like)
+
+    def vec(off, cnt):
+        return jnp.concatenate(
+            [prm[0, off + i] * one for i in range(cnt)], axis=0)
+
+    mp = {
+        "q": vec(P.q, n),
+        "r": vec(P.r, mc),
+        "u_lo": vec(P.u_lo, mc),
+        "u_hi": vec(P.u_hi, mc),
+        "x_lo": vec(P.x_lo, n),
+        "x_hi": vec(P.x_hi, n),
+    }
+    if ocp.n_obs:
+        # row order robot-major, obstacle-minor — matches the lam layout
+        mp["obs_x"] = jnp.concatenate(
+            [prm[0, P.obs + 3 * o] * one
+             for _ in range(nrob) for o in range(ocp.n_obs)], axis=0)
+        mp["obs_y"] = jnp.concatenate(
+            [prm[0, P.obs + 3 * o + 1] * one
+             for _ in range(nrob) for o in range(ocp.n_obs)], axis=0)
+        mp["obs_k"] = jnp.concatenate(
+            [prm[0, P.obs + 3 * o + 2] * one
+             for _ in range(nrob) for o in range(ocp.n_obs)], axis=0)
+    return mp
+
+
+def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu, mov_k=None,
+                 mp=None):
+    """Lane-major AL merit contribution of one stage, block-vectorized.
+
+    Penalty rows are evaluated as [rows, T] blocks (pairs / obstacles /
+    moving obstacles / u-box / x-box) so the VPU processes 8 constraint rows
+    per sublane-packed op instead of one [1, T] row at a time — the row-wise
+    form left 7/8 of each vreg idle and was the measured line-search
+    bottleneck (STATUS.md megakernel notes).
 
     mov_k: [2*n_mov, T] this stage's moving-obstacle positions (x0, y0, x1,
-    y1, ...) when ocp.n_mov > 0."""
+    y1, ...) when ocp.n_mov > 0. mp: precomputed `_merit_params` blocks
+    (computed on the fly when None — pass it in hot loops)."""
     n, mc, nrob = ocp.nx, ocp.nu, ocp.m
-    cost = jnp.zeros_like(x[0:1])
+    if mp is None:
+        mp = _merit_params(ocp, P, prm, mu)
     dxr = x - xref_k
-    for i in range(n):
-        cost = cost + prm[0, P.q + i] * dxr[i : i + 1] * dxr[i : i + 1]
-    for i in range(mc):
-        cost = cost + prm[0, P.r + i] * u[i : i + 1] * u[i : i + 1]
+    cost = (jnp.sum(mp["q"] * dxr * dxr, axis=0, keepdims=True)
+            + jnp.sum(mp["r"] * u * u, axis=0, keepdims=True))
 
-    pen = jnp.zeros_like(cost)
+    # stage-0 gate for state-dependent rows (constraint_mask semantics)
+    gate = jnp.where(k == 0, jnp.zeros_like(mu), jnp.ones_like(mu))
+
+    pen = jnp.zeros_like(mu)
     row = 0
 
-    def phr(c_row, row, x_dep):
-        act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
+    def phr_block(c_blk, row0, cnt, x_dep):
+        act = jnp.maximum(0.0, lam_k[row0 : row0 + cnt] - mu * c_blk)
         if x_dep:
-            act = jnp.where(k == 0, 0.0, act)
-        return act * act
+            act = act * gate
+        return jnp.sum(act * act, axis=0, keepdims=True)
 
     if ocp.n_pairs:
-        for i, j in zip(*pair_indices(nrob)):
-            dx = x[3 * i : 3 * i + 1] - x[3 * j : 3 * j + 1]
-            dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
-            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
-            pen = pen + phr(c_row, row, True)
-            row += 1
-    for i in range(nrob):     # obstacle rows: dist - keepout >= 0
-        for o in range(ocp.n_obs):
-            dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
-            dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
-            dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-            pen = pen + phr(dist - prm[0, P.obs + 3 * o + 2], row, True)
-            row += 1
-    for i in range(nrob):     # moving-obstacle rows: d2 - dmin2 >= 0
-        for o in range(ocp.n_mov):
-            dx = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
-            dy = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
-            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
-            pen = pen + phr(c_row, row, True)
-            row += 1
-    for i in range(mc):
-        pen = pen + phr(u[i : i + 1] - prm[0, P.u_lo + i], row, False)
-        row += 1
-    for i in range(mc):
-        pen = pen + phr(prm[0, P.u_hi + i] - u[i : i + 1], row, False)
-        row += 1
-    for i in range(n):
-        pen = pen + phr(x[i : i + 1] - prm[0, P.x_lo + i], row, True)
-        row += 1
-    for i in range(n):
-        pen = pen + phr(prm[0, P.x_hi + i] - x[i : i + 1], row, True)
-        row += 1
+        I, J = pair_indices(nrob)
+        xi = jnp.concatenate([x[3 * i : 3 * i + 1] for i in I], axis=0)
+        yi = jnp.concatenate([x[3 * i + 1 : 3 * i + 2] for i in I], axis=0)
+        xj = jnp.concatenate([x[3 * j : 3 * j + 1] for j in J], axis=0)
+        yj = jnp.concatenate([x[3 * j + 1 : 3 * j + 2] for j in J], axis=0)
+        dx, dy = xi - xj, yi - yj
+        c_blk = dx * dx + dy * dy - prm[0, P.dmin2]
+        pen = pen + phr_block(c_blk, row, ocp.n_pairs, True)
+        row += ocp.n_pairs
+    if ocp.n_obs:      # obstacle rows: dist - keepout >= 0
+        px = jnp.concatenate([x[3 * i : 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1 : 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        dx, dy = px - mp["obs_x"], py - mp["obs_y"]
+        dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        pen = pen + phr_block(dist - mp["obs_k"], row, nrob * ocp.n_obs, True)
+        row += nrob * ocp.n_obs
+    if ocp.n_mov:      # moving-obstacle rows: d2 - dmin2 >= 0
+        px = jnp.concatenate([x[3 * i : 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1 : 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        mx = jnp.concatenate([mov_k[2 * o : 2 * o + 1]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        my = jnp.concatenate([mov_k[2 * o + 1 : 2 * o + 2]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        dx, dy = px - mx, py - my
+        c_blk = dx * dx + dy * dy - prm[0, P.dmin2]
+        pen = pen + phr_block(c_blk, row, nrob * ocp.n_mov, True)
+        row += nrob * ocp.n_mov
+    pen = pen + phr_block(u - mp["u_lo"], row, mc, False)
+    row += mc
+    pen = pen + phr_block(mp["u_hi"] - u, row, mc, False)
+    row += mc
+    pen = pen + phr_block(x - mp["x_lo"], row, n, True)
+    row += n
+    pen = pen + phr_block(mp["x_hi"] - x, row, n, True)
+    row += n
     return cost + pen / (2.0 * mu)
 
 
@@ -168,6 +228,7 @@ def _make_cost_kernel(ocp: OCP, P):
         dt = prm[0, P.dt]
         x_s[...] = x0_ref[0, 0]
         mu = mu_ref[0]
+        mp = _merit_params(ocp, P, prm, mu)
 
         def stage(k, acc):
             x = x_s[...]
@@ -175,7 +236,7 @@ def _make_cost_kernel(ocp: OCP, P):
                             kff_ref[0, k], Kfb_ref[0, k], alpha)
             mov_k = None if mov_ref is None else mov_ref[0, k]
             merit = _stage_merit(ocp, P, prm, k, x, u, xref_ref[0, k],
-                                 lam_ref[0, k], mu, mov_k)
+                                 lam_ref[0, k], mu, mov_k, mp)
             x_s[...] = _euler_rows(ocp.m, x, u, dt)
             return acc + merit
 
