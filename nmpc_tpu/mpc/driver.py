@@ -71,6 +71,28 @@ class MPCConfig:
     # infeasible is rejected and the previous shifted plan's first control is
     # applied instead (the natural fallback: it was feasible one step ago).
     viol_fallback: float = 1e30  # reject threshold on max violation
+    # Compute-delay semantics: in the reference deployment the plant keeps
+    # moving while IPOPT solves — odometry is latched at solve start and the
+    # control lands roughly one solve-time late (callbacks mutate globals
+    # mid-loop, ...six...collision_free.py:19-77 vs the read at :373). The
+    # repo's default loop is latch->solve->apply atomically (zero compute
+    # delay). delay=1 reproduces the reference's actual timing: the control
+    # applied over period k is the one computed from the measurement at
+    # period k-1 (one full control period of actuation delay — an upper
+    # bound on the real solve latency, since every budget is met with
+    # headroom, docs/LATENCY.md).
+    delay: int = 0
+    # Delay compensation (only meaningful with delay=1): predict the latched
+    # measurement one period forward under the KNOWN in-flight control
+    # before solving, so the plan's first control applies at the state it
+    # was computed for. The reference does NOT compensate — it eats the
+    # stale-plan error (measured here: the six-robot hardware config's
+    # realized crossing clearance degrades 0.40 -> ~0.23 m uncompensated,
+    # still above the ~0.21 m physical-contact distance of two TurtleBot3s,
+    # which is presumably why the hardware family uses dmin=0.4). With
+    # compensation the clearance recovers to the dmin class. Default off =
+    # reference-faithful.
+    delay_compensate: bool = False
 
 
 @partial(
@@ -209,9 +231,9 @@ def _min_pair_dist(ocp: OCP, x):
     return jnp.sqrt(jnp.min(P.pairwise_sq_distances(ocp, x)))
 
 
-def _scan_loop(ocp_t: OCP, step_fn, carry0, mpc: MPCConfig):
+def _scan_loop(ocp_t: OCP, step_fn, carry0, mpc: MPCConfig, done_idx=2):
     carryF, ys = jax.lax.scan(step_fn, carry0, jnp.arange(mpc.max_steps))
-    doneF, stepsF = carryF[2], carryF[3]
+    doneF, stepsF = carryF[done_idx], carryF[done_idx + 1]
     xs_hist, u_hist, err, cost, viol, iters, mind, goal_hist = ys
     X_hist = jnp.concatenate([carry0[0][None], xs_hist], axis=0)
     min_dist = jnp.concatenate(
@@ -249,12 +271,25 @@ def closed_loop(
     warm0 = cold_start(ocp, solver_cfg) if warm is None else warm
 
     def step(carry, k):
-        x, w, done, steps, gidx, esc = carry
+        x, meas, w, done, steps, gidx, esc, u_prev = carry
+        # explicit measurement latch (SURVEY.md §5.2): the solve runs on the
+        # latched odometry `meas` (which carries odom_noise when enabled),
+        # while the plant advances the TRUE state x — min_dist/safety are
+        # always evaluated on the true state
         if mpc.wrap_yaw:
+            # wrap both the measurement (what the solver sees — the
+            # reference's modify() on odometry) and the true state (a
+            # physical no-op that keeps recorded trajectories in [0, 2pi))
+            meas = _wrap_yaw_state(ocp, meas)
             x = _wrap_yaw_state(ocp, x)
-        err = jnp.linalg.norm(x - goal)
+        err = jnp.linalg.norm(meas - goal)
         done = done | (err <= mpc.stop_tol)
-        ocp_k = dataclasses.replace(ocp, x0=x)
+        meas_solve = meas
+        if mpc.delay and mpc.delay_compensate:
+            # predict the latch one period forward under the in-flight
+            # control so the plan starts where its first control will land
+            meas_solve = P.step_dynamics(ocp, meas, u_prev)
+        ocp_k = dataclasses.replace(ocp, x0=meas_solve)
         res = _solve(ocp_k, w)
         ok = jnp.isfinite(res.cost) & jnp.all(jnp.isfinite(res.U)) & (
             res.viol < mpc.viol_fallback
@@ -263,21 +298,31 @@ def closed_loop(
                            res, dataclasses.replace(res, U=w.U, lam=w.lam))
         u0 = jnp.where(done, 0.0, res.U[0])
         if mpc.escape:
-            u0, esc = _escape_control(ocp, mpc, x, goal, u0, esc, done)
+            u0, esc = _escape_control(ocp, mpc, meas, goal, u0, esc, done)
+        if mpc.delay:
+            # one-period actuation delay (MPCConfig.delay): the plant
+            # advances under the PREVIOUS solve's control while this solve's
+            # lands next period — the reference's deployment timing
+            u_apply, u_prev = u_prev, u0
+            u_apply = jnp.where(done, 0.0, u_apply)
+        else:
+            u_apply = u0
         step_key = None if key is None else jax.random.fold_in(key, k)
-        x_next, _ = plant_step(x, u0, ocp.T, plant, step_key)
+        x_next, odom_next = plant_step(x, u_apply, ocp.T, plant, step_key)
         x_next = jnp.where(done, x, x_next)
+        odom_next = jnp.where(done, meas, odom_next)
         w_next = jax.tree.map(
             lambda a, b: jnp.where(done, a, b), w, shift_warm(res, solver_cfg, mpc.mu_reset, mpc.lam_decay)
         )
         steps = steps + jnp.where(done, 0, 1)
-        out = (x_next, u0, err, res.cost, res.viol, res.inner_iters,
+        out = (x_next, u_apply, err, res.cost, res.viol, res.inner_iters,
                _min_pair_dist(ocp, x_next), gidx)
-        return (x_next, w_next, done, steps, gidx, esc), out
+        return (x_next, odom_next, w_next, done, steps, gidx, esc, u_prev), out
 
-    carry0 = (ocp.x0, warm0, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-              jnp.zeros((), jnp.int32), jnp.zeros((ocp.m,), bool))
-    return _scan_loop(ocp, step, carry0, mpc)
+    carry0 = (ocp.x0, ocp.x0, warm0, jnp.zeros((), bool),
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+              jnp.zeros((ocp.m,), bool), jnp.zeros((ocp.nu,), ocp.x0.dtype))
+    return _scan_loop(ocp, step, carry0, mpc, done_idx=3)
 
 
 def rt_closed_loop(

@@ -69,7 +69,12 @@ def mega_fits(ocp: OCP) -> bool:
     # whole solve
     spill = (4 * n * n + 3 * mc * n + 3 * mc * mc
              + 3 * (n + mc) + 3 * ocp.m * ocp.n_obs) * LANES * f
-    estimate = scratch + spill + 2 * (blocks_in + blocks_out)
+    # transient gather blocks the vectorized merit builds per stage
+    # (xi/yi/xj/yj for pairs, px/py for obstacles, px/py/mx/my for moving
+    # obstacles) — live across one _stage_merit call
+    merit_tmp = (4 * ocp.n_pairs + 2 * ocp.m * ocp.n_obs
+                 + 4 * ocp.m * ocp.n_mov) * LANES * f
+    estimate = scratch + spill + merit_tmp + 2 * (blocks_in + blocks_out)
     return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
 
@@ -227,6 +232,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
     N, n, mc = ocp.N, ocp.nx, ocp.nu
     reg = cfg.reg
     alphas = tuple(cfg.alphas)
+    adaptive = cfg.ls == "adaptive"
 
     def kernel(prm, x0_ref, xref_ref, lam_ref, mu_ref, Uin_ref, *rest):
         if ocp.n_mov:
@@ -234,8 +240,13 @@ def _make_megakernel(ocp: OCP, P, cfg):
             rest = rest[1:]
         else:
             mov_ref = None
-        (Uout_ref, Xout_ref, cost_ref, iters_ref,
-         X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s) = rest
+        if adaptive:
+            (Uout_ref, Xout_ref, cost_ref, iters_ref,
+             X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s,
+             trial_s, acc_s, bcost_s, balpha_s) = rest
+        else:
+            (Uout_ref, Xout_ref, cost_ref, iters_ref,
+             X_s, U_s, kff_s, Kfb_s, Vx_s, Vxx_s, cost_s, done_s) = rest
 
         def mov_at(k):
             return None if mov_ref is None else mov_ref[0, k]
@@ -260,6 +271,8 @@ def _make_megakernel(ocp: OCP, P, cfg):
                                      (x0, jnp.zeros_like(mu)))
         cost_s[...] = cost0
         done_s[...] = jnp.zeros_like(mu)
+        if adaptive:
+            trial_s[...] = jnp.ones_like(mu)
 
         # once every lane of the tile has converged, whole iterations are
         # skipped (a converged iteration is a no-op by construction:
@@ -342,7 +355,13 @@ def _make_megakernel(ocp: OCP, P, cfg):
                 kff_s[k] = kff
                 Kfb_s[k] = Kfb
                 Vx_s[...] = Qx + _mtm(Qux, kff)
-                Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
+                # Qux' Kfb = -Qux' Quu^-1 Qux is symmetric by construction
+                # (Quu SPD), so one _mtm suffices — the old
+                # 0.5 (_mtm(Qux,Kfb) + _mtm(Kfb,Qux)) "symmetrization" paid
+                # a second [n,n,T] product to reproduce the same matrix up
+                # to f32 rounding (measured: no accuracy change, the sweep
+                # is the fixed-cost bound of the adaptive-LS megakernel)
+                Vxx_s[...] = Qxx + _mtm(Qux, Kfb)
                 return dV1 + jnp.sum(kff * Qu, axis=0)  # [1, T]
 
             dV1 = jax.lax.fori_loop(0, N, bwd, jnp.zeros_like(mu))
@@ -361,14 +380,54 @@ def _make_megakernel(ocp: OCP, P, cfg):
                 _, c = jax.lax.fori_loop(0, N, roll, (x0, jnp.zeros_like(mu)))
                 return c
 
-            best_cost = cost_cur
-            best_alpha = jnp.zeros_like(mu)
-            for ai, a in enumerate(alphas):
-                ca = cost_of(a)
-                expected = cfg.armijo * a * jnp.maximum(-dV1, 0.0)
-                ok = ((cost_cur - ca) >= expected) & (ca < best_cost)
-                best_cost = jnp.where(ok, ca, best_cost)
-                best_alpha = jnp.where(ok, a, best_alpha)
+            if adaptive:
+                # carried per-lane trial step, first-accept Armijo: each
+                # round rolls ONE candidate chain whose alpha differs per
+                # lane; rounds are skipped tile-wide once every lane has
+                # accepted (cost_of takes a [1, T] alpha — _feedback_u
+                # broadcasts it). Lanes that already accepted roll alpha 0
+                # (reproduces the nominal; cannot re-accept since
+                # ca == cost_cur fails ca < cost_cur).
+                acc_s[...] = jnp.zeros_like(mu)
+                bcost_s[...] = cost_cur
+                balpha_s[...] = jnp.zeros_like(mu)
+
+                def ls_round():
+                    acc = acc_s[...]
+                    a = jnp.where(acc > 0.5, jnp.zeros_like(mu), trial_s[...])
+                    ca = cost_of(a)
+                    expected = cfg.armijo * a * jnp.maximum(-dV1, 0.0)
+                    ok = ((acc <= 0.5) & ((cost_cur - ca) >= expected)
+                          & (ca < cost_cur))
+                    bcost_s[...] = jnp.where(ok, ca, bcost_s[...])
+                    balpha_s[...] = jnp.where(ok, a, balpha_s[...])
+                    acc_s[...] = jnp.maximum(acc, ok.astype(mu.dtype))
+                    trial_s[...] = jnp.where(acc_s[...] > 0.5, trial_s[...],
+                                             trial_s[...] * cfg.ls_beta)
+
+                for _ in range(cfg.ls_rounds):
+                    @pl.when(jnp.logical_not(jnp.all(acc_s[...] > 0.5)))
+                    def _r():
+                        ls_round()
+
+                best_cost = bcost_s[...]
+                best_alpha = balpha_s[...]
+                # next iteration: accepted lanes start at the grown step;
+                # failed lanes keep the shrunk trial (fail-continue — they
+                # retry deeper next iteration rather than being marked done)
+                trial_s[...] = jnp.where(
+                    best_alpha > 0.0,
+                    jnp.minimum(1.0, best_alpha * cfg.ls_grow),
+                    trial_s[...])
+            else:
+                best_cost = cost_cur
+                best_alpha = jnp.zeros_like(mu)
+                for ai, a in enumerate(alphas):
+                    ca = cost_of(a)
+                    expected = cfg.armijo * a * jnp.maximum(-dV1, 0.0)
+                    ok = ((cost_cur - ca) >= expected) & (ca < best_cost)
+                    best_cost = jnp.where(ok, ca, best_cost)
+                    best_alpha = jnp.where(ok, a, best_alpha)
 
             improved = best_alpha > 0.0
             alpha_l = jnp.where(done > 0.5, 0.0, best_alpha)
@@ -386,8 +445,18 @@ def _make_megakernel(ocp: OCP, P, cfg):
             cost_new = jnp.where(done > 0.5, cost_cur,
                                  jnp.where(improved, best_cost, cost_cur))
             rel = (cost_cur - cost_new) / (1.0 + jnp.abs(cost_cur))
-            done = jnp.maximum(done, jnp.where(
-                (~improved) | (rel < cfg.tol_cost), 1.0, 0.0))
+            if adaptive:
+                # fail-continue: an unimproved lane stays active (it retries
+                # at a deeper carried trial next iteration) until the trial
+                # is exhausted — the analog of the cascade's full alpha grid
+                give_up = (~improved) & (trial_s[...] <= cfg.ls_trial_min)
+                # boolean algebra, not a select on i1 vectors — Mosaic
+                # rejects select_n between bool operands (i8->i1 trunc)
+                stop = (improved & (rel < cfg.tol_cost)) | give_up
+                done = jnp.maximum(done, jnp.where(stop, 1.0, 0.0))
+            else:
+                done = jnp.maximum(done, jnp.where(
+                    (~improved) | (rel < cfg.tol_cost), 1.0, 0.0))
             iters_ref[0] += jnp.where(done > 0.5, 0.0, 1.0)
             cost_s[...] = cost_new
             done_s[...] = done
@@ -539,6 +608,23 @@ def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
     if ocp.n_mov:
         ins.append(mov_l)
         in_specs.append(vs(N, 2 * ocp.n_mov))
+    scratch = [
+        pltpu.VMEM((N, n, LANES), dtype),        # X stages
+        pltpu.VMEM((N, mc, LANES), dtype),       # U
+        pltpu.VMEM((N, mc, 1, LANES), dtype),    # kff
+        pltpu.VMEM((N, mc, n, LANES), dtype),    # Kfb
+        pltpu.VMEM((n, 1, LANES), dtype),        # Vx
+        pltpu.VMEM((n, n, LANES), dtype),        # Vxx
+        pltpu.VMEM((1, LANES), dtype),           # merit (current iterate)
+        pltpu.VMEM((1, LANES), dtype),           # per-lane done flags
+    ]
+    if cfg.ls == "adaptive":
+        scratch += [
+            pltpu.VMEM((1, LANES), dtype),       # carried trial alpha
+            pltpu.VMEM((1, LANES), dtype),       # round: accepted flags
+            pltpu.VMEM((1, LANES), dtype),       # round: best merit
+            pltpu.VMEM((1, LANES), dtype),       # round: accepted alpha
+        ]
     U_out, Xs_l, cost, iters = pl.pallas_call(
         _make_megakernel(ocp, P, cfg),
         grid=(tiles,),
@@ -550,16 +636,7 @@ def inner_solve_fused(ocp: OCP, x0_l, xref_l, lam_l, mu_l, U_l, cfg,
             jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
             jax.ShapeDtypeStruct((tiles, 1, LANES), dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N, n, LANES), dtype),        # X stages
-            pltpu.VMEM((N, mc, LANES), dtype),       # U
-            pltpu.VMEM((N, mc, 1, LANES), dtype),    # kff
-            pltpu.VMEM((N, mc, n, LANES), dtype),    # Kfb
-            pltpu.VMEM((n, 1, LANES), dtype),        # Vx
-            pltpu.VMEM((n, n, LANES), dtype),        # Vxx
-            pltpu.VMEM((1, LANES), dtype),           # merit (current iterate)
-            pltpu.VMEM((1, LANES), dtype),           # per-lane done flags
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*ins)
     return Xs_l, U_out, cost, iters

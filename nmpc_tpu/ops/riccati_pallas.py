@@ -50,21 +50,37 @@ def _mtm(X, Y):
 
 
 def _chol(Quu, reg):
-    """Lane-wise Cholesky of [m, m, T] SPD blocks (+reg I); entries are
-    [1, T] lane vectors; fully unrolled (m <= 20)."""
+    """Lane-wise Cholesky of [m, m, T] SPD blocks (+reg I).
+
+    Column-blocked: each elimination step updates the whole remaining
+    column as ONE [m, T] sublane-packed op (v -= col_k * col_k[i]) instead
+    of the entry-wise [1, T] form, which left 7/8 of every vreg idle and
+    made the factorization a large share of the backward sweep's fixed
+    cost — the same sublane-packing fix the round-2 merit rewrite applied
+    to the line search. Rows above the diagonal of a stored column are
+    never read (step i only consumes rows >= i), so no masking is needed.
+    Returns the same list-of-lists of [1, T] entries as before."""
     m = Quu.shape[0]
+    cols = []
+    for i in range(m):
+        v = Quu[:, i]                               # [m, T]
+        for k in range(i):
+            v = v - cols[k] * cols[k][i : i + 1]
+        d = jnp.sqrt(v[i : i + 1] + reg)            # [1, T]
+        inv = 1.0 / d
+        # zero-size slices are invalid Mosaic vector types — build the
+        # column from only the parts that exist at this i
+        parts = []
+        if i > 0:
+            parts.append(jnp.zeros_like(v[:i]))
+        parts.append(d)
+        if i + 1 < m:
+            parts.append(v[i + 1 :] * inv)
+        cols.append(jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
     L = [[None] * m for _ in range(m)]
     for i in range(m):
-        s = Quu[i : i + 1, i] + reg
-        for k in range(i):
-            s = s - L[i][k] * L[i][k]
-        L[i][i] = jnp.sqrt(s)
-        inv = 1.0 / L[i][i]
-        for j in range(i + 1, m):
-            s = Quu[j : j + 1, i]
-            for k in range(i):
-                s = s - L[j][k] * L[i][k]
-            L[j][i] = s * inv
+        for j in range(i, m):
+            L[j][i] = cols[i][j : j + 1]
     return L
 
 
@@ -130,10 +146,10 @@ def _make_kernel(N, n, m, reg):
             dV1_ref[...] += jnp.sum(kff * Qu, axis=0)[None]
 
             # with Quu kff = -Qu: Vx' = Qx + Qux' kff, Vxx' = Qxx + Qux' Kfb.
-            # Symmetrize without a (gather-lowering) transpose:
-            # (Qux'Kfb)^T = Kfb'Qux, and Qxx is symmetric by construction.
+            # Qux' Kfb = -Qux' Quu^-1 Qux is symmetric by construction
+            # (Quu SPD): one product, no symmetrization pass needed.
             Vx_s[...] = Qx + _mtm(Qux, kff)
-            Vxx_s[...] = Qxx + 0.5 * (_mtm(Qux, Kfb) + _mtm(Kfb, Qux))
+            Vxx_s[...] = Qxx + _mtm(Qux, Kfb)
             return 0
 
         jax.lax.fori_loop(0, N, stage, 0)

@@ -162,7 +162,9 @@ def _stage_merit(ocp: OCP, P, prm, k, x, u, xref_k, lam_k, mu, mov_k=None,
     def phr_block(c_blk, row0, cnt, x_dep):
         act = jnp.maximum(0.0, lam_k[row0 : row0 + cnt] - mu * c_blk)
         if x_dep:
-            act = act * gate
+            # hard mask (not act * gate): a non-finite activation at k == 0
+            # (e.g. NaN warm-start duals) must not leak into the merit
+            act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
         return jnp.sum(act * act, axis=0, keepdims=True)
 
     if ocp.n_pairs:

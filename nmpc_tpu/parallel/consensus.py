@@ -264,6 +264,7 @@ def consensus_solve_sharded(
     damping: float = 0.5,
     axis: str = "robots",
     rh_bias: float = 0.0,
+    engine: str = "fused",
 ):
     """shard_map form of `consensus_solve`: robots sharded over `axis`, one
     `all_gather` per round for the plan exchange (the cross-chip constraint
@@ -273,12 +274,19 @@ def consensus_solve_sharded(
       (poses [m, 3], goals [m, 3], plans [m, N+1, 2], warms) ->
       (X [m, N+1, 3], U [m, N, 2], warms, plans, viol_hist, delta_hist)
     with the robot-carried outputs sharded and the histories replicated.
-    Per-shard subproblems go through the vmapped per-scenario solver (the
-    local robot count m/d is far below a lane tile, so the megakernel's
-    128-lane layout has nothing to fill; on a real slice each chip instead
-    fuses its whole shard the same way `consensus_solve` does at m lanes).
-    """
+
+    engine='fused' (default) solves each chip's WHOLE shard of robots as
+    lanes of one fused megakernel per round — shard = several robots, so
+    large fleets (m = 48/96 circles over an 8-chip mesh = 6/12 robots per
+    chip) pay one Pallas program per chip per round instead of m/d
+    sequentialized per-robot solves. engine='xla' keeps the vmapped
+    per-scenario solver (the round-2 form)."""
     N = template.N
+    from nmpc_tpu.ops.rollout_pallas import supports
+
+    use_fused = engine == "fused" and supports(template)
+    if use_fused:
+        from nmpc_tpu.solver.alilqr_batched import solve_batched
 
     def body(poses, goals, plans, wU, wlam, wmu):
         m_loc = poses.shape[0]
@@ -289,7 +297,7 @@ def consensus_solve_sharded(
             plans_loc, wU, wlam, wmu, _X = carry
             all_plans = jax.lax.all_gather(plans_loc, axis, tiled=True)
 
-            def one(i_local, x0_i, xref_i, w_i):
+            def mov_of(i_local, x0_i):
                 i_glob = my0 + i_local
                 # roll self to slot 0, drop it -> the m-1 neighbor plans
                 others = jnp.roll(all_plans, -i_glob, axis=0)[1:]
@@ -301,13 +309,23 @@ def consensus_solve_sharded(
                     left = jnp.stack(
                         [-rel[..., 1], rel[..., 0]], axis=-1) / nrm
                     mov = mov + rh_bias * left
-                ocp_i = dataclasses.replace(
-                    template, x0=x0_i, xref=xref_i, mov_obs=mov)
-                return solve(ocp_i, w_i, cfg)
+                return mov
 
-            res = jax.vmap(one)(
-                jnp.arange(m_loc), poses, xref_l,
-                WarmStart(U=wU, lam=wlam, mu=wmu))
+            w = WarmStart(U=wU, lam=wlam, mu=wmu)
+            if use_fused:
+                mov_b = jax.vmap(mov_of)(jnp.arange(m_loc), poses)
+                ocp_b = dataclasses.replace(
+                    template, x0=poses, xref=xref_l, mov_obs=mov_b)
+                res = solve_batched(ocp_b, w, cfg)
+            else:
+                def one(i_local, x0_i, xref_i, w_i):
+                    ocp_i = dataclasses.replace(
+                        template, x0=x0_i, xref=xref_i,
+                        mov_obs=mov_of(i_local, x0_i))
+                    return solve(ocp_i, w_i, cfg)
+
+                res = jax.vmap(one)(
+                    jnp.arange(m_loc), poses, xref_l, w)
             raw = res.X[:, :, :2]
             plans_new = damping * raw + (1.0 - damping) * plans_loc
             all_raw = jax.lax.all_gather(raw, axis, tiled=True)

@@ -58,6 +58,43 @@ class ALILQRConfig:
     armijo: float = 1e-4      # accept fraction of expected decrease
     mega: bool = True         # batched path: fuse the whole inner solve into
                               # one Pallas program (ops/megasolve_pallas.py)
+    ls: str = "cascade"       # line-search strategy in the megakernel:
+                              # "cascade" = evaluate every cfg.alphas
+                              # candidate, accept the best Armijo-passing
+                              # one (the reference-parity strategy; always
+                              # used by the staged/XLA paths);
+                              # "adaptive" = carried per-lane trial step:
+                              # each round rolls ONE candidate with a
+                              # per-lane alpha (first-accept Armijo), failed
+                              # lanes backtrack by ls_beta, rounds stop as
+                              # soon as every lane of the 128-lane tile has
+                              # accepted, and the accepted step is grown by
+                              # ls_grow (capped at 1) for the next
+                              # iteration. Measured: typical iterations pay
+                              # 1-2 merit evaluations instead of
+                              # len(alphas) = 8 — the measured line-search
+                              # bound of the cascade (STATUS.md round-2
+                              # megakernel exploration).
+    ls_rounds: int = 2        # adaptive: candidate evaluations/iteration.
+                              # A lane that fails every round is NOT marked
+                              # done — its carried trial keeps shrinking and
+                              # it retries next iteration (fail-continue),
+                              # so small ls_rounds trades a few extra cheap
+                              # iterations for far fewer merit evaluations;
+                              # a lane gives up only once its trial falls
+                              # below ls_trial_min (the analog of
+                              # exhausting the cascade's alpha grid).
+    ls_beta: float = 0.2      # adaptive: backtrack factor on rejection
+    ls_grow: float = 4.0      # adaptive: growth factor on acceptance
+    ls_trial_min: float = 1e-5  # adaptive: give-up threshold on the carried
+                              # trial step. Deeper than the cascade grid's
+                              # 1e-3 floor on purpose: stiff AL box rows at
+                              # mu_max need alpha ~ 1e-4..1e-5 to make
+                              # progress (the two_robot_swap parity-outlier
+                              # stall was exactly this — a merit-gradient
+                              # norm of 218 at a point the cascade's 1e-3
+                              # floor could not descend from; alphas down to
+                              # 1e-5 reach the f64 oracle optimum).
     sweep: str = "seq"        # backward pass: "seq" = O(N) Riccati scan,
                               # "scan" = O(log N) associative-scan LQR
                               # (ops/assoc_lqr.py) for long horizons (the

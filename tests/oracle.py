@@ -93,8 +93,17 @@ def solve_oracle(
     pos_bound=None,
     n_starts=1,
     seed=0,
+    method="SLSQP",
 ):
     """Condensed SLSQP solve of the reference OCP with exact gradients.
+
+    method="trust-constr" switches to scipy's interior-point/SQP method —
+    the same algorithm family as the reference's production solver IPOPT
+    (mpc_online_casadi_tb3_six_multi_centralized_collision_free.py:275-276)
+    — as an independent second oracle: SLSQP (active set) and trust-constr
+    (interior point) failing in the same place is far stronger evidence
+    than either alone, and trust-constr handles the 900+-row family-H
+    N=100 configs where SLSQP's active set cycles.
 
     obstacles: optional [(ox, oy, r), ...] static circles — clearance rows
     sqrt(d2) - r - robot_radius - obs_margin >= 0 at stages 1..N-1 (stage 0
@@ -165,10 +174,14 @@ def solve_oracle(
     bounds = [(-v_max, v_max), (-omega_max, omega_max)] * m * N
 
     def run(z0):
+        if method == "trust-constr":
+            opts = {"maxiter": max(maxiter, 1000), "gtol": 1e-10, "xtol": 1e-12}
+        else:
+            opts = {"maxiter": maxiter, "ftol": 1e-12}
         res = minimize(
-            obj_and_grad, z0, method="SLSQP", jac=True,
+            obj_and_grad, z0, method=method, jac=True,
             bounds=bounds, constraints=cons,
-            options={"maxiter": maxiter, "ftol": 1e-12},
+            options=opts,
         )
         viol = 0.0
         if have_cons:
@@ -205,6 +218,7 @@ def solve_oracle_lidar(
     omega_max=1.5,
     U0=None,
     maxiter=400,
+    method="SLSQP",
 ):
     """Family-I oracle: LiDAR-augmented condensed SLSQP with exact gradients.
 
@@ -283,11 +297,15 @@ def solve_oracle_lidar(
     }]
     z0 = (np.zeros(nz) if U0 is None
           else np.asarray(U0, float)[:Nc].reshape(-1))
+    if method == "trust-constr":
+        opts = {"maxiter": max(maxiter, 1000), "gtol": 1e-10, "xtol": 1e-12}
+    else:
+        opts = {"maxiter": maxiter, "ftol": 1e-12}
     res = minimize(
-        obj_and_grad, z0, method="SLSQP", jac=True,
+        obj_and_grad, z0, method=method, jac=True,
         bounds=[(-v_max, v_max), (-omega_max, omega_max)] * Nc,
         constraints=cons,
-        options={"maxiter": maxiter, "ftol": 1e-12},
+        options=opts,
     )
     U_blk = res.x.reshape(Nc, 2)
     U = U_blk[[expand_idx(k) for k in range(N)]]

@@ -216,3 +216,47 @@ def test_batched_scan_sweep_matches_seq():
     np.testing.assert_allclose(np.array(rs.U), np.array(rq.U), atol=5e-3)
     assert _resolve_sweep(dataclasses.replace(CFG, sweep="auto"), 200, 1) == "seq"
     assert _resolve_sweep(dataclasses.replace(CFG, sweep="scan"), 10, 1) == "scan"
+
+
+def test_adaptive_line_search_matches_or_beats_cascade():
+    """ls='adaptive' (carried per-lane trial step, fail-continue) must hold
+    the cascade's solution quality on the bench problem class: convergence
+    rate and violation statistics at least as good, mean cost within f32
+    tolerance. The adaptive search is the round-3 throughput lever — typical
+    iterations pay ls_rounds=2 merit evaluations instead of 8 (the measured
+    line-search bound, STATUS.md)."""
+    base = get("six_robot_antipodal").make(N=10)
+    B = 128
+    x0s = base.x0[None] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (B, base.nx), base.x0.dtype
+    )
+    ob = batch_ocp(base, x0s)
+    cfg_c = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-3)
+    cfg_a = dataclasses.replace(cfg_c, ls="adaptive")
+    rc = jax.jit(functools.partial(solve_batched, cfg=cfg_c))(ob)
+    ra = jax.jit(functools.partial(solve_batched, cfg=cfg_a))(ob)
+    assert float(ra.converged.mean()) >= float(rc.converged.mean()) - 1e-6
+    assert float(ra.viol.max()) <= float(rc.viol.max()) + 1e-6
+    assert float(ra.cost.mean()) <= float(rc.cost.mean()) * 1.001
+
+
+def test_deep_alpha_grid_escapes_box_stall():
+    """Regression for the round-2 parity outlier: on two_robot_swap the
+    solver stalled at a NON-stationary point (cost 4044.4, merit-gradient
+    norm ~2e2) because stiff AL u-box rows at mu_max=1e4 need line-search
+    steps below the old 1e-3 alpha floor. With alphas extended to 1e-5 the
+    engine reaches the f64 SLSQP/trust-constr optimum basin (4026.0).
+    Reference NLP: mpc_online_casadi_tb3_two_centralized_collision_free.py
+    :80-84 (T=0.02, N=100, dmin=0.25)."""
+    deep = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001,
+            3e-4, 1e-4, 3e-5, 1e-5)
+    ocp = get("two_robot_swap").make()
+    tight = dict(tol_cost=1e-9, n_inner=60, n_outer=20, tol_con=1e-5)
+    r_old = jax.jit(functools.partial(
+        solve, cfg=ALILQRConfig(**tight)))(ocp)
+    r_deep = jax.jit(functools.partial(
+        solve, cfg=ALILQRConfig(alphas=deep, **tight)))(ocp)
+    assert float(r_deep.cost) < 4027.0  # f64 oracle optimum 4025.99
+    assert float(r_deep.cost) < float(r_old.cost) - 10.0
+    assert float(r_deep.viol) < 1e-4
+    assert bool(r_deep.converged)

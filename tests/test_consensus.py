@@ -88,13 +88,25 @@ def test_consensus_sharded_matches_single_program():
 
     mesh = data_mesh(8, axis="robots")
     run = consensus_solve_sharded(mesh, tpl, cfg=cfg, rounds=3, damping=0.5,
-                                  rh_bias=0.05)
+                                  rh_bias=0.05, engine="xla")
     X2, U2, _, _, v2, d2 = run(x_joint.reshape(m, 3), goals)
 
     np.testing.assert_allclose(np.array(U2), np.array(U1), atol=1e-4)
     np.testing.assert_allclose(np.array(X2), np.array(X1), atol=1e-4)
     np.testing.assert_allclose(np.array(v2), np.array(v1), atol=1e-5)
     np.testing.assert_allclose(np.array(d2), np.array(d1), atol=1e-5)
+
+    # fused engines both sides (the production pairing, round 3): each chip
+    # solves its whole shard as megakernel lanes; must match the fused
+    # single-program form the same way the XLA pair matches
+    Xf, Uf, _, _, vf, df = jax.jit(functools.partial(
+        consensus_solve, cfg=cfg, rounds=3, damping=0.5, engine="fused",
+        rh_bias=0.05))(tpl, x_joint, goals)
+    runf = consensus_solve_sharded(mesh, tpl, cfg=cfg, rounds=3, damping=0.5,
+                                   rh_bias=0.05, engine="fused")
+    X3, U3, _, _, v3, d3 = runf(x_joint.reshape(m, 3), goals)
+    np.testing.assert_allclose(np.array(U3), np.array(Uf), atol=1e-4)
+    np.testing.assert_allclose(np.array(X3), np.array(Xf), atol=1e-4)
 
 
 @pytest.mark.slow

@@ -208,3 +208,45 @@ def test_lidar_v2_closed_loop():
     U = np.array(U)
     assert np.abs(U[:, 0]).max() <= 0.22 + 1e-3
     assert np.abs(U[:, 1]).max() <= 2.84 + 1e-3
+
+
+def test_normal_scan_matches_dense_jacobian():
+    """The forward-sensitivity scan (GNConfig.normal='scan') must produce
+    the same normal equations as the materialized-Jacobian form — H = J'J,
+    g = J'r to f32 tolerance at a random iterate, and the same optimum on
+    the published lidar_v4 config. The scan form is what lifts the batched
+    family-I fleet past the B~1024 HBM ceiling (the dense [B, n_res, nz]
+    Jacobian; obs_avoid_static_first_scenario_v4.py:59-75)."""
+    import dataclasses
+
+    sc = get("lidar_v4")
+    ocp = sc.make(N=40)
+    R = sc.num_rays
+    angles = ray_angles(R, jnp.float32)
+    scan = np.full((R,), 3.5, np.float32)
+    scan[1] = 0.9
+    pose0 = np.asarray(sc.x0, np.float32)
+    p_obs = obstacle_points(jnp.asarray(pose0), jnp.asarray(scan), angles)
+    ocp = dataclasses.replace(
+        ocp, p_obs=p_obs, x0=ocp.x0.at[3:].set(jnp.asarray(scan)))
+    Nc = 20
+    key = jax.random.PRNGKey(0)
+    U_blk = 0.05 * jax.random.normal(key, (Nc, ocp.nu), ocp.x0.dtype)
+    lam = 0.5 * jnp.abs(jax.random.normal(key, (ocp.N, ocp.n_con), ocp.x0.dtype))
+    mu = jnp.asarray(10.0, ocp.x0.dtype)
+    H1, g1 = gn._normal_scan(ocp, U_blk, lam, mu, Nc)
+    flat = U_blk.reshape(-1)
+    r = gn._residuals(ocp, U_blk, lam, mu)
+    J = jax.jacfwd(
+        lambda z: gn._residuals(ocp, z.reshape(Nc, ocp.nu), lam, mu))(flat)
+    np.testing.assert_allclose(np.array(H1), np.array(J.T @ J),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.array(g1), np.array(J.T @ r),
+                               rtol=2e-5, atol=2e-4)
+
+    cfg_s = gn.GNConfig(Nc=Nc, n_gn=15, n_outer=6, normal="scan")
+    cfg_d = gn.GNConfig(Nc=Nc, n_gn=15, n_outer=6, normal="dense")
+    rs = jax.jit(functools.partial(gn.solve, cfg=cfg_s))(ocp)
+    rd = jax.jit(functools.partial(gn.solve, cfg=cfg_d))(ocp)
+    np.testing.assert_allclose(float(rs.cost), float(rd.cost), rtol=1e-3)
+    assert float(rs.viol) < 1e-4

@@ -40,7 +40,21 @@ from nmpc_tpu.scenarios import get
 from nmpc_tpu.solver.alilqr import ALILQRConfig, solve
 from oracle import solve_oracle, solve_oracle_lidar
 
-TIGHT = ALILQRConfig(tol_cost=1e-9, n_inner=60, n_outer=20, tol_con=1e-5)
+# Round 3: the alpha grid extends to 1e-5. The round-2 parity outliers
+# (two_robot_swap 4.6e-3, obstacle_scenario_1 2.8e-3) were NOT bad basins —
+# the engine stalled at non-stationary points (merit-gradient norm ~2e2)
+# because stiff AL box rows at mu_max need line-search steps below the old
+# 1e-3 alpha floor. With the deep grid both land on the f64 oracle optimum.
+DEEP_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001,
+               3e-4, 1e-4, 3e-5, 1e-5)
+TIGHT = ALILQRConfig(tol_cost=1e-9, n_inner=60, n_outer=20, tol_con=1e-5,
+                     alphas=DEEP_ALPHAS)
+
+# second oracle: scipy trust-constr (interior point — IPOPT's algorithm
+# family). Run on every row whose raw SLSQP gap exceeds this, to confirm
+# `ours<orc` claims against an independent method, and on all family-H rows
+# (SLSQP active-set cycling caps out there; trust-constr does not).
+TC_GAP_TRIGGER = 1e-4
 
 # (scenario, N override or None = published horizon, oracle multi-starts)
 CASES = [
@@ -54,21 +68,24 @@ CASES = [
     ("ten_robot", None, 2),         # N=20   (...ten...py:170)
 ]
 
+# round 3: published N=100 horizons (first_scenario_mpc_obstacle_avoidance
+# .py:58-59 et al.), oracled by trust-constr (SLSQP cycles at 900+ rows)
 OBSTACLE_CASES = [
-    ("obstacle_scenario_1", 60, 1),
-    ("obstacle_scenario_2", 60, 1),
-    ("obstacle_scenario_3", 60, 1),
+    ("obstacle_scenario_1", None, 1),
+    ("obstacle_scenario_2", None, 1),
+    ("obstacle_scenario_3", None, 1),
 ]
 
 
-def row_dict(name, sc, ocp, cost_ours, viol, t_ours, cost_o, cost_p, polish, t_orc):
+def row_dict(name, sc, ocp, cost_ours, viol, t_ours, cost_o, cost_p, polish,
+             t_orc, cost_tc=None):
     raw = abs(cost_ours - cost_o) / (1 + abs(cost_o))
     pol = abs(cost_ours - cost_p) / (1 + abs(cost_p))
     return dict(
         name=name, m=sc.m, N=ocp.N, cost_ours=cost_ours, cost_oracle=cost_o,
         raw_gap=raw, cost_polished=cost_p, pol_gap=pol,
         better=cost_ours < cost_o - 1e-6,
-        viol=viol, polish=polish, t_ours=t_ours, t_orc=t_orc,
+        viol=viol, polish=polish, t_ours=t_ours, t_orc=t_orc, cost_tc=cost_tc,
     )
 
 
@@ -96,19 +113,26 @@ def run_family_e(rows):
             v_max=sc.v_max, omega_max=sc.omega_max, U0=U_ours, maxiter=400,
         )
         polish = np.abs(U_p - U_ours).max()
+        cost_tc = None
+        if abs(float(res.cost) - cost_o) / (1 + abs(cost_o)) > TC_GAP_TRIGGER:
+            _, _, cost_tc = solve_oracle(
+                x0, xs, ocp.N, float(ocp.T), dmin=dmin,
+                v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
+                method="trust-constr",
+            )
         r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
-                     cost_o, cost_p, float(polish), t_orc)
+                     cost_o, cost_p, float(polish), t_orc, cost_tc)
         rows.append(r)
         print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
               f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
-              f"dU {polish:.2e} viol {r['viol']:.1e} "
+              f"tc {cost_tc} dU {polish:.2e} viol {r['viol']:.1e} "
               f"({t_ours:.1f}s vs {t_orc:.1f}s)", flush=True)
 
 
 def run_family_h(rows):
     for name, N_over, starts in OBSTACLE_CASES:
         sc = get(name)
-        ocp = sc.make(N=N_over)
+        ocp = sc.make() if N_over is None else sc.make(N=N_over)
         t0 = time.time()
         res = jax.jit(functools.partial(solve, cfg=TIGHT))(ocp)
         res.X.block_until_ready()
@@ -120,6 +144,7 @@ def run_family_h(rows):
             obstacles=obstacles, robot_radius=float(ocp.robot_radius),
             obs_margin=float(ocp.obs_margin),
             v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
+            method="trust-constr",
         )
         t0 = time.time()
         U_o, X_o, cost_o = solve_oracle(x0, xs, ocp.N, float(ocp.T),
@@ -130,7 +155,7 @@ def run_family_h(rows):
                                       U0=U_ours, **kw)
         polish = np.abs(U_p - U_ours).max()
         r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
-                     cost_o, cost_p, float(polish), t_orc)
+                     cost_o, cost_p, float(polish), t_orc, cost_o)
         rows.append(r)
         print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
               f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
@@ -189,12 +214,22 @@ def run_family_i(rows):
             Nc=sc.Nc, v_max=sc.v_max, omega_max=sc.omega_max, U0=U_ours,
         )
         polish = np.abs(U_p - U_ours).max()
+        cost_tc = None
+        if abs(float(res.cost) - cost_o) / (1 + abs(cost_o)) > TC_GAP_TRIGGER:
+            _, _, cost_tc = solve_oracle_lidar(
+                pose0, np.array(ocp.xref[-1, :3], float), ocp.N, float(ocp.T),
+                np.array(p_obs, float), scan.astype(float),
+                ray_lo=float(ocp.x_lo[3]),
+                inv_dist_weight=float(ocp.inv_dist_weight),
+                Nc=sc.Nc, v_max=sc.v_max, omega_max=sc.omega_max,
+                method="trust-constr",
+            )
         r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
-                     cost_o, cost_p, float(polish), t_orc)
+                     cost_o, cost_p, float(polish), t_orc, cost_tc)
         rows.append(r)
         print(f"{name}: ours {r['cost_ours']:.4f} oracle {cost_o:.4f} "
               f"polished {cost_p:.4f} raw {r['raw_gap']:.1e} pol {r['pol_gap']:.1e} "
-              f"dU {polish:.2e} viol {r['viol']:.1e}", flush=True)
+              f"tc {cost_tc} dU {polish:.2e} viol {r['viol']:.1e}", flush=True)
 
 
 def main():
@@ -206,7 +241,7 @@ def main():
     os.makedirs("docs", exist_ok=True)
     with open("docs/PARITY.md", "w") as f:
         f.write(
-            "# Solver parity vs the reference NLP (scipy SLSQP oracle)\n\n"
+            "# Solver parity vs the reference NLP (SLSQP + trust-constr oracles)\n\n"
             "Open-loop solves of the reference's own transcriptions at the\n"
             "UNSHRUNK published horizons. The oracle (tests/oracle.py) is\n"
             "float64 SLSQP on the condensed form with exact hand-coded\n"
@@ -218,19 +253,27 @@ def main():
             "f64). `ours<orc` marks cases where the TPU engine found a\n"
             "*better* local optimum than every cold oracle start. `polish\n"
             "dU` = max control change under that seeded polish.\n\n"
-            "Families: E/C (pairwise collision), H (static obstacles, N=60\n"
-            "slice of the N=100 configs — SLSQP's active-set cycling on\n"
-            "900+ obstacle rows, not problem size, caps the oracle there),\n"
-            "I (LiDAR-augmented: v2/v3 full horizon on AL-iLQR, v4 Nc=50\n"
-            "move blocking on condensed GN).\n\n"
-            "| scenario | m | N | cost (ours) | cost (oracle) | raw gap | cost (polished) | pol gap | ours<orc | max viol | polish dU | solve s (ours/oracle) |\n"
-            "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+            "`cost (ipm)` is a SECOND oracle — scipy trust-constr, an\n"
+            "interior-point method (IPOPT's algorithm family) — run cold on\n"
+            "every row whose raw SLSQP gap exceeds 1e-4 (confirming\n"
+            "`ours<orc` against an independent method) and on all family-H\n"
+            "rows, where it replaces SLSQP as the primary oracle (SLSQP's\n"
+            "active set cycles on the 900+ obstacle rows of the published\n"
+            "N=100 configs; trust-constr does not, so family H now runs at\n"
+            "the full published horizon).\n\n"
+            "Families: E/C (pairwise collision), H (static obstacles,\n"
+            "published N=100, trust-constr oracle), I (LiDAR-augmented:\n"
+            "v2/v3 full horizon on AL-iLQR, v4 Nc=50 move blocking on\n"
+            "condensed GN).\n\n"
+            "| scenario | m | N | cost (ours) | cost (oracle) | raw gap | cost (polished) | pol gap | cost (ipm) | ours<orc | max viol | polish dU | solve s (ours/oracle) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write(
                 f"| {r['name']} | {r['m']} | {r['N']} | {r['cost_ours']:.4f} | "
                 f"{r['cost_oracle']:.4f} | {r['raw_gap']:.1e} | "
                 f"{r['cost_polished']:.4f} | {r['pol_gap']:.1e} | "
+                f"{'—' if r['cost_tc'] is None else format(r['cost_tc'], '.4f')} | "
                 f"{'yes' if r['better'] else ''} | {r['viol']:.1e} | "
                 f"{r['polish']:.2e} | {r['t_ours']:.2f} / {r['t_orc']:.1f} |\n"
             )
