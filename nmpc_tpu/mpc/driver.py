@@ -66,6 +66,9 @@ class MPCConfig:
     escape: bool = False
     escape_u_tol: float = 1e-3
     escape_gain: float = 1.5
+    escape_stall_steps: int = 10  # consecutive blocked-stall steps before
+                                  # the deadlock-breaking retreat engages
+                                  # (_escape_control docstring)
     # Failure handling (SURVEY.md §5.3): the reference applies IPOPT's output
     # regardless of status. Here a solve whose plan is non-finite or grossly
     # infeasible is rejected and the previous shifted plan's first control is
@@ -165,6 +168,16 @@ def _wrap_angle(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 
 
+# escape-state encoding (int32 per robot): parking-latch sentinel vs the
+# consecutive-blocked-stall counter used by the deadlock-breaking retreat
+_ESC_LATCH = 1000
+
+
+def escape_state0(m: int) -> jax.Array:
+    """Initial per-robot escape state for the closed-loop carries."""
+    return jnp.zeros((m,), jnp.int32)
+
+
 def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=None):
     """Sticky per-robot parking mode (see MPCConfig.escape).
 
@@ -173,7 +186,30 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     until the error clears — handing control straight back to the myopic MPC
     would just rotate the robot back onto the saddle. The parking law is the
     classic polar controller: turn to the goal bearing, drive, then align the
-    goal heading. Returns (blended control, updated flags)."""
+    goal heading. Returns (blended control, updated flags).
+
+    Deadlock breaking (round 3): a robot that is saddle-stalled WITHOUT the
+    1.5x-dmin clearance the parking law requires used to simply freeze — a
+    stable mutual block (e.g. two robots parked at the keep-out ring, each
+    occluding the other's goal approach) persisted forever in a deterministic
+    plant. The reference escapes such states only via Gazebo process noise
+    (SURVEY.md §0). Here blocked robots RETREAT: drive along the current
+    heading with v = c*cos(delta_away) toward the inverse-square repulsion
+    bearing of nearby robots, so d(min dist)/dt ∝ cos² ≥ 0 — retreat can only
+    open separation, never close it. Once the clearance gate opens, the
+    normal parking law (or the MPC) resumes.
+
+    Retreat requires the blocked stall to PERSIST for
+    `mpc.escape_stall_steps` consecutive steps. The discriminator matters:
+    a robot yielding mid-crossing stalls transiently (a few steps) and must
+    be left alone — retreating it destabilizes the compute-delay hardware
+    crossing (both an immediate and a latched retreat were tried and failed
+    test_delay_closed_loop_six_robot_hw_config) — while a true mutual block
+    stalls forever. Once triggered, retreat persists until the gate opens
+    (a single pulse per K steps would never unwind the block).
+
+    The carried per-robot escape state is an int32: LATCH (1000) while the
+    parking law is engaged, else the consecutive-blocked-stall count."""
     m = ocp.m
     pose = x[: 3 * m].reshape(m, 3)
     gpos = goal[: 3 * m].reshape(m, 3)
@@ -187,18 +223,10 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     tol = mpc.stop_tol if tol is None else tol
     thresh = tol / jnp.sqrt(jnp.asarray(float(m), x.dtype))
     u_mpc = u0.reshape(m, 2)
+    latch_prev = esc_flags >= _ESC_LATCH
+    cnt = jnp.where(latch_prev, 0, esc_flags)
     stalled = (jnp.max(jnp.abs(u_mpc), axis=-1) < mpc.escape_u_tol) & (err_i > 0.7 * thresh)
-    esc = (esc_flags | stalled) & (err_i > 0.35 * thresh) & (~done)
-    if ocp.n_pairs:
-        # The parking law knows nothing about collision rows, so it may only
-        # drive a robot with clearance: a multi-robot standoff at the dmin
-        # ring (e.g. the myopic eight-robot N=5 config) must stay a standoff,
-        # not a push-through. 1.5x dmin keeps a full stopping margin.
-        pos2 = pose[:, :2]
-        d2 = jnp.sum((pos2[:, None] - pos2[None]) ** 2, axis=-1)
-        d2 = d2 + jnp.eye(m, dtype=x.dtype) * 1e9
-        clear = jnp.sqrt(jnp.min(d2, axis=1)) > 1.5 * jnp.sqrt(ocp.dmin2)
-        esc = esc & clear
+    cand = (latch_prev | stalled) & (err_i > 0.35 * thresh) & (~done)
 
     v_hi = ocp.u_hi[0 :: 2][:m]
     w_hi = ocp.u_hi[1 :: 2][:m]
@@ -208,8 +236,46 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     w = jnp.where(far, jnp.clip(mpc.escape_gain * delta, -w_hi, w_hi),
                   jnp.clip(mpc.escape_gain * dth, -w_hi, w_hi))
     u_esc = jnp.stack([v, w], axis=-1)
-    u = jnp.where(esc[:, None], u_esc, u_mpc).reshape(2 * m)
-    return u, esc
+
+    if ocp.n_pairs:
+        # The parking law knows nothing about collision rows, so it may only
+        # drive a robot with clearance: a multi-robot standoff at the dmin
+        # ring (e.g. the myopic eight-robot N=5 config) must stay a standoff,
+        # not a push-through. 1.5x dmin keeps a full stopping margin.
+        pos2 = pose[:, :2]
+        diff = pos2[:, None] - pos2[None]  # [m, m, 2]: row i minus others
+        d2 = jnp.sum(diff**2, axis=-1) + jnp.eye(m, dtype=x.dtype) * 1e9
+        mind_i = jnp.sqrt(jnp.min(d2, axis=1))
+        gate = 1.5 * jnp.sqrt(ocp.dmin2)
+        clear = mind_i > gate
+        esc = cand & clear  # sticky parking latch, pre-retreat semantics
+        # Hard-stalled WITHOUT clearance: count consecutive blocked steps;
+        # after escape_stall_steps of them it is a mutual block, not a
+        # transient yield — back out along the repulsion bearing instead of
+        # freezing (docstring). Retreat persists until the gate opens.
+        K = mpc.escape_stall_steps
+        blocked = stalled & (err_i > 0.35 * thresh) & (~done) & (~clear)
+        retreating_prev = cnt >= K
+        retreat = ((~clear) & (~done) & (err_i > 0.35 * thresh)
+                   & (retreating_prev | (blocked & (cnt + 1 >= K))))
+        cnt_new = jnp.where(retreat, K,
+                            jnp.where(blocked, jnp.minimum(cnt + 1, K - 1), 0))
+        away = jnp.sum(diff / (d2[..., None] ** 1.5), axis=1)
+        beta_away = jnp.arctan2(away[:, 1], away[:, 0])
+        d_away = _wrap_angle(beta_away - pose[:, 2])
+        # speed ramps with how far inside the gate the robot sits; signed
+        # cos projects onto the heading so reverse gear is used when the
+        # robot faces the crowd — either way distance is non-decreasing.
+        v_ret = jnp.clip(mpc.escape_gain * (1.1 * gate - mind_i), 0.0, 0.5 * v_hi)
+        u_ret = jnp.stack(
+            [v_ret * jnp.cos(d_away), jnp.clip(mpc.escape_gain * d_away, -w_hi, w_hi)],
+            axis=-1)
+        u = jnp.where(esc[:, None], u_esc, u_mpc)
+        u = jnp.where(retreat[:, None], u_ret, u).reshape(2 * m)
+        return u, jnp.where(esc, _ESC_LATCH, cnt_new)
+
+    u = jnp.where(cand[:, None], u_esc, u_mpc).reshape(2 * m)
+    return u, jnp.where(cand, _ESC_LATCH, 0)
 
 
 def _wrap_yaw_state(ocp: OCP, x):
@@ -321,7 +387,7 @@ def closed_loop(
 
     carry0 = (ocp.x0, ocp.x0, warm0, jnp.zeros((), bool),
               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-              jnp.zeros((ocp.m,), bool), jnp.zeros((ocp.nu,), ocp.x0.dtype))
+              escape_state0(ocp.m), jnp.zeros((ocp.nu,), ocp.x0.dtype))
     return _scan_loop(ocp, step, carry0, mpc, done_idx=3)
 
 
@@ -366,7 +432,7 @@ def closed_loop_waypoints(
         err = jnp.linalg.norm(x - goal)
         advance = (err < mpc.advance_tol) & (~done)
         gidx = gidx + advance.astype(jnp.int32)
-        esc = esc & (~advance)  # new goal -> leave parking mode
+        esc = jnp.where(advance, 0, esc)  # new goal -> leave parking mode
         done = done | (gidx >= G)
         goal = waypoints[jnp.minimum(gidx, G - 1)]
         # waypoint goals are poses; pad ray states with zero reference
@@ -392,7 +458,7 @@ def closed_loop_waypoints(
 
     warm0 = cold_start(ocp, solver_cfg)
     carry0 = (ocp.x0, warm0, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-              jnp.zeros((), jnp.int32), jnp.zeros((ocp.m,), bool))
+              jnp.zeros((), jnp.int32), escape_state0(ocp.m))
     return _scan_loop(ocp, step, carry0, mpc)
 
 

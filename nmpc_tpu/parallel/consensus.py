@@ -248,7 +248,7 @@ def consensus_closed_loop(
     plans0 = _plans_cold(poses0, N)
     carry0 = (x0_joint, plans0, warms0.U, warms0.lam, warms0.mu,
               jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-              jnp.zeros((m,), bool))
+              jnp.zeros((m,), jnp.int32))
     (xF, *_, done, steps, _), (X_t, U_t, mind_t) = jax.lax.scan(
         step, carry0, None, length=max_steps)
     X_hist = jnp.concatenate([x0_joint[None], X_t], axis=0)

@@ -200,7 +200,7 @@ def decentralized_closed_loop(
     warms0 = jax.vmap(lambda _: cold_start(template, cfg))(jnp.arange(m))
     plans0 = jnp.tile(x0_joint.reshape(m, 3)[:, None, :2], (1, N + 1, 1))
     carry0 = (x0_joint, plans0, warms0, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-              jnp.zeros((m,), bool))
+              jnp.zeros((m,), jnp.int32))
     (xF, _, _, done, steps, _), (X_t, U_t, mind_t) = jax.lax.scan(
         step, carry0, jnp.arange(max_steps)
     )

@@ -101,7 +101,13 @@ def test_graft_entry_and_dryrun():
 @pytest.mark.slow
 def test_decentralized_six_robot_antipodal():
     """The paper-headline geometry solved in decentralized mode: six 3-state
-    NMPCs with plan exchange, no central solver."""
+    NMPCs with plan exchange, no central solver.
+
+    max_steps budgets the whole run including the escape phase: the crossing
+    resolves through a near-deadlock whose unwind time is sensitive to float
+    rounding (261 steps single-device vs 334 under the 8-virtual-device test
+    env). The hard invariants are arrival AND the collision-free floor; the
+    step count only needs to be finite and bounded."""
     ang = np.arange(6) * 2 * np.pi / 6
     x0 = jnp.asarray(
         np.stack([np.cos(ang), np.sin(ang), ang + np.pi], -1).reshape(-1), jnp.float32
@@ -110,7 +116,7 @@ def test_decentralized_six_robot_antipodal():
         np.stack([-np.cos(ang), -np.sin(ang), ang + np.pi], -1), jnp.float32
     )
     X, U, mind, done = jax.jit(functools.partial(
-        decentralized_closed_loop, N=30, T=0.1, dmin=0.3, max_steps=300
+        decentralized_closed_loop, N=30, T=0.1, dmin=0.3, max_steps=500
     ))(x0, goals)
     assert bool(done)
     assert float(mind.min()) >= 0.3 - 1e-2
