@@ -31,9 +31,10 @@ def main():
 
     B = 32768
     base = get("six_robot_antipodal").make(N=10)
-    # adaptive per-lane line search (round 3): 43.3k solves/s vs the
-    # 8-alpha cascade's 30.8k at BETTER quality — conv 99.9% vs 89.4%,
-    # viol_p99 4.3e-4 vs 5.9e-3 (tools/bench_ls.py; quality pinned by
+    # adaptive per-lane line search + block-vectorized expansions
+    # (round 3): 62.7k solves/s vs the 8-alpha cascade's 30.8k at BETTER
+    # quality — conv 99.9% vs 89.4%, viol_p99 4.3e-4 vs 5.9e-3
+    # (tools/bench_ls.py, docs/ROOFLINE.md; quality pinned by
     # tests/test_batched_solver.py::test_adaptive_line_search_*)
     cfg = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-3, ls="adaptive")
 

@@ -78,21 +78,209 @@ def mega_fits(ocp: OCP) -> bool:
     return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
 
-def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None):
-    """Stage expansion in registers (same math as expansions_pallas).
+def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
+                    mp=None):
+    """Stage expansion in registers, block-vectorized (round 3).
 
     The unicycle Jacobians are never materialized dense: A = I + E with
     E[3r, 3r+2] = -dt v sinθ =: e1[r], E[3r+1, 3r+2] = dt v cosθ =: e2[r],
     and B has per-robot entries B[3r, 2r] = dt cosθ =: bc[r],
     B[3r+1, 2r] = dt sinθ =: bs[r], B[3r+2, 2r+1] = dt. The backward sweep
-    consumes these [1, T] lane vectors directly (see `bwd`), turning the
-    O(n^3) dense V-propagation products into O(n) per-robot row/column
-    updates and eliminating the [n,n,T]/[n,mc,T] register spill that kept
-    the five- and ten-robot shapes out of VMEM."""
+    consumes these [1, T] lane vectors directly (see `bwd`).
+
+    Constraint rows are evaluated as [rows, T] sublane-packed blocks
+    (pairs / obstacles / moving obstacles / u-box / x-box — the lam rows
+    are contiguous per block, so the dual gather is a single slice), with
+    only the per-row gradient scatter into lx and the dense lxx/luu
+    assembly left at [1, T] granularity. The per-row form computed every
+    activation/gradient/weight as its own [1, T] op with 7/8 of each vreg
+    idle, which tools/exp_mega_phases.py measured at 51% of total kernel
+    time at fixed iterations — the same sublane-starvation the round-2
+    merit rewrite fixed for the line search. Measured (v5e, six-robot
+    N=10, B=32768, 40 fixed iterations): 427 -> 298 ms with bit-identical
+    outputs (tools/exp_blocked_expansions.py).
+
+    mp: precomputed `_merit_params` blocks (computed on the fly when
+    None — pass it in hot loops)."""
+    if mp is None:
+        mp = _merit_params(ocp, P, prm, mu)
     n, mc, nrob = ocp.nx, ocp.nu, ocp.m
     zero = jnp.zeros_like(mu)
     one = jnp.ones_like(mu)
     dt = prm[0, P.dt]
+
+    e1, e2, bc, bs = [], [], [], []
+    for r in range(nrob):
+        th = x[3 * r + 2: 3 * r + 3]
+        v = u[2 * r: 2 * r + 1]
+        c, s = jnp.cos(th), jnp.sin(th)
+        e1.append(-dt * v * s)
+        e2.append(dt * v * c)
+        bc.append(dt * c)
+        bs.append(dt * s)
+
+    gate = jnp.where(k == 0, zero, one)
+
+    # ---- quadratic rows as blocks ----
+    lx_blk = 2.0 * mp["q"] * (x - xr)              # [n, T]
+    lu_blk = 2.0 * mp["r"] * u                     # [mc, T]
+
+    row = 0
+    # ---- pair rows as one [n_pairs, T] block ----
+    pair_blk = None
+    if ocp.n_pairs:
+        I, J = pair_indices(nrob)
+        xi = jnp.concatenate([x[3 * i: 3 * i + 1] for i in I], axis=0)
+        yi = jnp.concatenate([x[3 * i + 1: 3 * i + 2] for i in I], axis=0)
+        xj = jnp.concatenate([x[3 * j: 3 * j + 1] for j in J], axis=0)
+        yj = jnp.concatenate([x[3 * j + 1: 3 * j + 2] for j in J], axis=0)
+        dx, dy = xi - xj, yi - yj
+        c_blk = dx * dx + dy * dy - prm[0, P.dmin2]
+        act = jnp.maximum(0.0, lam_k[row: row + ocp.n_pairs] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        gx, gy = 2.0 * dx, 2.0 * dy
+        gxa, gya = gx * act, gy * act              # lx contributions
+        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy
+        nwxx, nwyy, nwxy = -wxx, -wyy, -wxy
+        pair_blk = (I, J, gxa, gya, wxx, wyy, wxy, nwxx, nwyy, nwxy)
+        row += ocp.n_pairs
+
+    # ---- obstacle rows as one [m*n_obs, T] block ----
+    obs_blk = None
+    if ocp.n_obs:
+        px = jnp.concatenate([x[3 * i: 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1: 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        dxo, dyo = px - mp["obs_x"], py - mp["obs_y"]
+        dist = jnp.sqrt(dxo * dxo + dyo * dyo + 1e-12)
+        c_blk = dist - mp["obs_k"]
+        cnt = nrob * ocp.n_obs
+        act = jnp.maximum(0.0, lam_k[row: row + cnt] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        ux, uy = dxo / dist, dyo / dist
+        uxa, uya = ux * act, uy * act
+        wxx, wyy, wxy = w * ux * ux, w * uy * uy, w * ux * uy
+        obs_blk = (uxa, uya, wxx, wyy, wxy)
+        row += cnt
+
+    # ---- moving-obstacle rows as one [m*n_mov, T] block ----
+    mov_blk = None
+    if ocp.n_mov:
+        px = jnp.concatenate([x[3 * i: 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1: 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        mx = jnp.concatenate([mov_k[2 * o: 2 * o + 1]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        my = jnp.concatenate([mov_k[2 * o + 1: 2 * o + 2]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        dxm, dym = px - mx, py - my
+        c_blk = dxm * dxm + dym * dym - prm[0, P.dmin2]
+        cnt = nrob * ocp.n_mov
+        act = jnp.maximum(0.0, lam_k[row: row + cnt] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        gx, gy = 2.0 * dxm, 2.0 * dym
+        mov_blk = (gx * act, gy * act, w * gx * gx, w * gy * gy, w * gx * gy)
+        row += cnt
+
+    # ---- u-box rows as [mc, T] blocks ----
+    a_lo_u = jnp.maximum(0.0, lam_k[row: row + mc] - mu * (u - mp["u_lo"]))
+    a_hi_u = jnp.maximum(0.0, lam_k[row + mc: row + 2 * mc]
+                         - mu * (mp["u_hi"] - u))
+    lu_blk = lu_blk - a_lo_u + a_hi_u
+    du_blk = mu * ((a_lo_u > 0.0).astype(mu.dtype)
+                   + (a_hi_u > 0.0).astype(mu.dtype))   # [mc, T]
+    row += 2 * mc
+
+    # ---- x-box rows as [n, T] blocks ----
+    a_lo_x = jnp.maximum(0.0, lam_k[row: row + n] - mu * (x - mp["x_lo"]))
+    a_hi_x = jnp.maximum(0.0, lam_k[row + n: row + 2 * n]
+                         - mu * (mp["x_hi"] - x))
+    a_lo_x = jnp.where(gate > 0.0, a_lo_x, jnp.zeros_like(a_lo_x))
+    a_hi_x = jnp.where(gate > 0.0, a_hi_x, jnp.zeros_like(a_hi_x))
+    dxd_blk = mu * ((a_lo_x > 0.0).astype(mu.dtype)
+                    + (a_hi_x > 0.0).astype(mu.dtype))  # [n, T]
+
+    # ---- assemble lx rows: block part + pair/obs/mov scatters ----
+    lx_rows = [lx_blk[i: i + 1] - a_lo_x[i: i + 1] + a_hi_x[i: i + 1]
+               for i in range(n)]
+    if pair_blk is not None:
+        (I, J, gxa, gya, *_rest) = pair_blk
+        for p, (i, j) in enumerate(zip(I, J)):
+            lx_rows[3 * i] = lx_rows[3 * i] - gxa[p: p + 1]
+            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya[p: p + 1]
+            lx_rows[3 * j] = lx_rows[3 * j] + gxa[p: p + 1]
+            lx_rows[3 * j + 1] = lx_rows[3 * j + 1] + gya[p: p + 1]
+    if obs_blk is not None:
+        uxa, uya = obs_blk[0], obs_blk[1]
+        for i in range(nrob):
+            for o in range(ocp.n_obs):
+                q = i * ocp.n_obs + o
+                lx_rows[3 * i] = lx_rows[3 * i] - uxa[q: q + 1]
+                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uya[q: q + 1]
+    if mov_blk is not None:
+        gxa_m, gya_m = mov_blk[0], mov_blk[1]
+        for i in range(nrob):
+            for o in range(ocp.n_mov):
+                q = i * ocp.n_mov + o
+                lx_rows[3 * i] = lx_rows[3 * i] - gxa_m[q: q + 1]
+                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya_m[q: q + 1]
+    lx = jnp.stack(lx_rows, axis=0)                # [n, 1, T]
+    lu = jnp.stack([lu_blk[i: i + 1] for i in range(mc)], axis=0)
+
+    # ---- dense lxx from block slices ----
+    He = {}
+    for i in range(n):
+        He[(i, i)] = 2.0 * mp["q"][i: i + 1] + dxd_blk[i: i + 1]
+
+    def add(a, b, v):
+        He[(a, b)] = He.get((a, b), zero) + v
+
+    if pair_blk is not None:
+        (I, J, _gxa, _gya, wxx, wyy, wxy, nwxx, nwyy, nwxy) = pair_blk
+        for p, (i, j) in enumerate(zip(I, J)):
+            xi_, yi_, xj_, yj_ = 3 * i, 3 * i + 1, 3 * j, 3 * j + 1
+            sxx = wxx[p: p + 1]
+            syy = wyy[p: p + 1]
+            sxy = wxy[p: p + 1]
+            add(xi_, xi_, sxx); add(yi_, yi_, syy)
+            add(xj_, xj_, sxx); add(yj_, yj_, syy)
+            add(xi_, yi_, sxy); add(yi_, xi_, sxy)
+            add(xj_, yj_, sxy); add(yj_, xj_, sxy)
+            add(xi_, xj_, nwxx[p: p + 1]); add(xj_, xi_, nwxx[p: p + 1])
+            add(yi_, yj_, nwyy[p: p + 1]); add(yj_, yi_, nwyy[p: p + 1])
+            add(xi_, yj_, nwxy[p: p + 1]); add(yj_, xi_, nwxy[p: p + 1])
+            add(yi_, xj_, nwxy[p: p + 1]); add(xj_, yi_, nwxy[p: p + 1])
+    if obs_blk is not None:
+        wxx, wyy, wxy = obs_blk[2], obs_blk[3], obs_blk[4]
+        for i in range(nrob):
+            for o in range(ocp.n_obs):
+                q = i * ocp.n_obs + o
+                xi_, yi_ = 3 * i, 3 * i + 1
+                add(xi_, xi_, wxx[q: q + 1])
+                add(yi_, yi_, wyy[q: q + 1])
+                add(xi_, yi_, wxy[q: q + 1])
+                add(yi_, xi_, wxy[q: q + 1])
+    if mov_blk is not None:
+        wxx, wyy, wxy = mov_blk[2], mov_blk[3], mov_blk[4]
+        for i in range(nrob):
+            for o in range(ocp.n_mov):
+                q = i * ocp.n_mov + o
+                xi_, yi_ = 3 * i, 3 * i + 1
+                add(xi_, xi_, wxx[q: q + 1])
+                add(yi_, yi_, wyy[q: q + 1])
+                add(xi_, yi_, wxy[q: q + 1])
+                add(yi_, xi_, wxy[q: q + 1])
 
     def dense(entries, rows, cols):
         out = []
@@ -101,129 +289,11 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None):
                 [entries.get((a, b), zero) for b in range(cols)], axis=0))
         return jnp.stack(out, axis=0)
 
-    e1, e2, bc, bs = [], [], [], []
-    for r in range(nrob):
-        th = x[3 * r + 2 : 3 * r + 3]
-        v = u[2 * r : 2 * r + 1]
-        c, s = jnp.cos(th), jnp.sin(th)
-        e1.append(-dt * v * s)
-        e2.append(dt * v * c)
-        bc.append(dt * c)
-        bs.append(dt * s)
-
-    lx_rows = [2.0 * prm[0, P.q + i] * (x[i : i + 1] - xr[i : i + 1]) for i in range(n)]
-    lu_rows = [2.0 * prm[0, P.r + i] * u[i : i + 1] for i in range(mc)]
-
-    row = 0
-    pair_data = []
-    if ocp.n_pairs:
-        for (i, j) in zip(*pair_indices(nrob)):
-            dx = x[3 * i : 3 * i + 1] - x[3 * j : 3 * j + 1]
-            dy = x[3 * i + 1 : 3 * i + 2] - x[3 * j + 1 : 3 * j + 2]
-            c_row = dx * dx + dy * dy - prm[0, P.dmin2]
-            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
-            act = jnp.where(k == 0, 0.0, act)
-            w = mu * (act > 0.0).astype(act.dtype)
-            gx, gy = 2.0 * dx, 2.0 * dy
-            lx_rows[3 * i] = lx_rows[3 * i] - gx * act
-            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gy * act
-            lx_rows[3 * j] = lx_rows[3 * j] + gx * act
-            lx_rows[3 * j + 1] = lx_rows[3 * j + 1] + gy * act
-            pair_data.append((i, j, gx, gy, w))
-            row += 1
-    obs_data = []
-    for i in range(nrob):
-        for o in range(ocp.n_obs):
-            dx = x[3 * i : 3 * i + 1] - prm[0, P.obs + 3 * o]
-            dy = x[3 * i + 1 : 3 * i + 2] - prm[0, P.obs + 3 * o + 1]
-            dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-            c_row = dist - prm[0, P.obs + 3 * o + 2]
-            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
-            act = jnp.where(k == 0, 0.0, act)
-            w = mu * (act > 0.0).astype(act.dtype)
-            ux, uy = dx / dist, dy / dist
-            lx_rows[3 * i] = lx_rows[3 * i] - ux * act
-            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uy * act
-            obs_data.append((i, ux, uy, w))
-            row += 1
-    # moving-obstacle rows (decentralized neighbor plans): c = d2 - dmin2,
-    # gradient only on the robot side — same shape as a one-sided pair row
-    mov_data = []
-    for i in range(nrob):
-        for o in range(ocp.n_mov):
-            dxm = x[3 * i : 3 * i + 1] - mov_k[2 * o : 2 * o + 1]
-            dym = x[3 * i + 1 : 3 * i + 2] - mov_k[2 * o + 1 : 2 * o + 2]
-            c_row = dxm * dxm + dym * dym - prm[0, P.dmin2]
-            act = jnp.maximum(0.0, lam_k[row : row + 1] - mu * c_row)
-            act = jnp.where(k == 0, 0.0, act)
-            w = mu * (act > 0.0).astype(act.dtype)
-            gx, gy = 2.0 * dxm, 2.0 * dym
-            lx_rows[3 * i] = lx_rows[3 * i] - gx * act
-            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gy * act
-            mov_data.append((i, gx, gy, w))
-            row += 1
-
-    du_diag = []
-    for i in range(mc):
-        a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
-                           - mu * (u[i : i + 1] - prm[0, P.u_lo + i]))
-        a_hi = jnp.maximum(0.0, lam_k[row + mc + i : row + mc + i + 1]
-                           - mu * (prm[0, P.u_hi + i] - u[i : i + 1]))
-        lu_rows[i] = lu_rows[i] - a_lo + a_hi
-        du_diag.append(mu * ((a_lo > 0.0).astype(mu.dtype)
-                             + (a_hi > 0.0).astype(mu.dtype)))
-    row += 2 * mc
-
-    dx_diag = []
-    for i in range(n):
-        a_lo = jnp.maximum(0.0, lam_k[row + i : row + i + 1]
-                           - mu * (x[i : i + 1] - prm[0, P.x_lo + i]))
-        a_hi = jnp.maximum(0.0, lam_k[row + n + i : row + n + i + 1]
-                           - mu * (prm[0, P.x_hi + i] - x[i : i + 1]))
-        a_lo = jnp.where(k == 0, 0.0, a_lo)
-        a_hi = jnp.where(k == 0, 0.0, a_hi)
-        lx_rows[i] = lx_rows[i] - a_lo + a_hi
-        dx_diag.append(mu * ((a_lo > 0.0).astype(mu.dtype)
-                             + (a_hi > 0.0).astype(mu.dtype)))
-
-    lx = jnp.stack(lx_rows, axis=0)      # [n, 1, T]
-    lu = jnp.stack(lu_rows, axis=0)      # [mc, 1, T]
-
-    He = {}
-    for i in range(n):
-        He[(i, i)] = 2.0 * prm[0, P.q + i] * one + dx_diag[i]
-
-    def add(a, b, v):
-        He[(a, b)] = He.get((a, b), zero) + v
-
-    for (i, j, gx, gy, w) in pair_data:
-        xi, yi, xj, yj = 3 * i, 3 * i + 1, 3 * j, 3 * j + 1
-        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy
-        add(xi, xi, wxx); add(yi, yi, wyy)
-        add(xj, xj, wxx); add(yj, yj, wyy)
-        add(xi, yi, wxy); add(yi, xi, wxy)
-        add(xj, yj, wxy); add(yj, xj, wxy)
-        add(xi, xj, -wxx); add(xj, xi, -wxx)
-        add(yi, yj, -wyy); add(yj, yi, -wyy)
-        add(xi, yj, -wxy); add(yj, xi, -wxy)
-        add(yi, xj, -wxy); add(xj, yi, -wxy)
-    for (i, ux, uy, w) in obs_data:
-        xi, yi = 3 * i, 3 * i + 1
-        add(xi, xi, w * ux * ux)
-        add(yi, yi, w * uy * uy)
-        add(xi, yi, w * ux * uy)
-        add(yi, xi, w * ux * uy)
-    for (i, gx, gy, w) in mov_data:
-        xi, yi = 3 * i, 3 * i + 1
-        add(xi, xi, w * gx * gx)
-        add(yi, yi, w * gy * gy)
-        add(xi, yi, w * gx * gy)
-        add(yi, xi, w * gx * gy)
     lxx = dense(He, n, n)
 
     Ue = {}
     for i in range(mc):
-        Ue[(i, i)] = 2.0 * prm[0, P.r + i] * one + du_diag[i]
+        Ue[(i, i)] = 2.0 * mp["r"][i: i + 1] + du_blk[i: i + 1]
     luu = dense(Ue, mc, mc)
     return e1, e2, bc, bs, lx, lu, lxx, luu
 
@@ -295,7 +365,7 @@ def _make_megakernel(ocp: OCP, P, cfg):
                 k = N - 1 - t
                 e1, e2, bc, bs, lx, lu, lxx, luu = _expansion_regs(
                     ocp, P, prm, k, X_s[k], U_s[k], xref_ref[0, k],
-                    lam_ref[0, k], mu, mov_at(k))
+                    lam_ref[0, k], mu, mov_at(k), mp)
                 dt = prm[0, P.dt]
                 nrob = ocp.m
                 Vx = Vx_s[...]             # [n, 1, T]
