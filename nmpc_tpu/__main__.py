@@ -96,7 +96,9 @@ def cmd_run(args) -> int:
     if engine == "gn":
         from nmpc_tpu.solver import gn
 
-        gcfg = gn.GNConfig(Nc=sc.Nc or ocp.N, n_gn=20, n_outer=8)
+        # B=1 deployment: the materialized-Jacobian normal equations are
+        # ~1.4x lower latency than the scan (memory only matters batched)
+        gcfg = gn.GNConfig(Nc=sc.Nc or ocp.N, n_gn=20, n_outer=8, normal="dense")
         solve_fn = lambda o, w: gn.solve(o, w, gcfg)
     elif engine == "fused":
         # batch-native megakernel at B=1: the low-latency per-step engine

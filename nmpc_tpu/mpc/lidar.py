@@ -31,7 +31,7 @@ def closed_loop_lidar(
     ocp: OCP,                 # LiDAR-augmented template (num_rays > 0)
     sim_obstacles: jax.Array, # [n, 3] ground-truth circles for the raycaster
     waypoints: jax.Array,     # [G, 3] pose goals
-    cfg: gn.GNConfig = gn.GNConfig(Nc=50),
+    cfg: gn.GNConfig = gn.GNConfig(Nc=50, normal="dense"),
     max_steps: int = 300,
     advance_tol: float = 0.1,
     scan_max: float = 3.5,

@@ -59,15 +59,19 @@ def _chol(Quu, reg):
     cost — the same sublane-packing fix the round-2 merit rewrite applied
     to the line search. Rows above the diagonal of a stored column are
     never read (step i only consumes rows >= i), so no masking is needed.
-    Returns the same list-of-lists of [1, T] entries as before."""
+    Returns (L, invs): the list-of-lists of [1, T] entries plus the
+    per-column diagonal reciprocals (consumed by `_chol_solve` so the
+    substitutions multiply instead of re-dividing)."""
     m = Quu.shape[0]
     cols = []
+    invs = []
     for i in range(m):
         v = Quu[:, i]                               # [m, T]
         for k in range(i):
             v = v - cols[k] * cols[k][i : i + 1]
         d = jnp.sqrt(v[i : i + 1] + reg)            # [1, T]
         inv = 1.0 / d
+        invs.append(inv)
         # zero-size slices are invalid Mosaic vector types — build the
         # column from only the parts that exist at this i
         parts = []
@@ -81,24 +85,31 @@ def _chol(Quu, reg):
     for i in range(m):
         for j in range(i, m):
             L[j][i] = cols[i][j : j + 1]
-    return L
+    return L, invs
 
 
-def _chol_solve(L, RHS):
-    """Solve (L L^T) X = RHS, RHS [m, r, T]; rows substituted unrolled."""
+def _chol_solve(L_inv, RHS):
+    """Solve (L L^T) X = RHS, RHS [m, r, T]; rows substituted unrolled.
+
+    L_inv = (L, invs) from `_chol`. The diagonal divisions use the
+    reciprocals already computed during factorization: a broadcast [r, T]
+    divide is a multi-cycle VPU op, and the 2m of them per stage were a
+    measurable slice of the solve phase's 38.9% kernel-time share
+    (tools/exp_mega_phases.py ablation, post-blocked-expansions)."""
+    L, invs = L_inv
     m = len(L)
     y = [None] * m
     for i in range(m):
         s = RHS[i]                       # [r, T]
         for k in range(i):
             s = s - L[i][k] * y[k]       # [1,T] * [r,T]
-        y[i] = s / L[i][i]
+        y[i] = s * invs[i]
     x = [None] * m
     for i in reversed(range(m)):
         s = y[i]
         for k in range(i + 1, m):
             s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+        x[i] = s * invs[i]
     return jnp.stack(x, axis=0)          # [m, r, T]
 
 

@@ -20,6 +20,8 @@ harder nonconvex cases).
 
 from __future__ import annotations
 
+import time as time_mod
+
 import numpy as np
 from scipy.optimize import minimize
 
@@ -94,8 +96,14 @@ def solve_oracle(
     n_starts=1,
     seed=0,
     method="SLSQP",
+    time_budget=None,
 ):
     """Condensed SLSQP solve of the reference OCP with exact gradients.
+
+    time_budget (trust-constr only): wall-clock seconds per start; the
+    interior-point iteration stops at the budget and returns its best
+    iterate (used by tools/gen_parity.py to bound the cross-check oracle's
+    runtime on the large family-E cases).
 
     method="trust-constr" switches to scipy's interior-point/SQP method —
     the same algorithm family as the reference's production solver IPOPT
@@ -174,14 +182,25 @@ def solve_oracle(
     bounds = [(-v_max, v_max), (-omega_max, omega_max)] * m * N
 
     def run(z0):
+        callback = None
         if method == "trust-constr":
-            opts = {"maxiter": max(maxiter, 1000), "gtol": 1e-10, "xtol": 1e-12}
+            # Second-oracle cross-check: it confirms or refutes 1e-4-class
+            # cost-gap claims, so ~1e-6 relative cost suffices. The earlier
+            # floor of max(maxiter, 1000) iterations at gtol 1e-10 made a
+            # single m=6 N=35 case run for over an hour (each interior-point
+            # iteration factors a ~2600-row KKT system in f64 scipy).
+            opts = {"maxiter": maxiter, "gtol": 1e-8, "xtol": 1e-10}
+            if time_budget is not None:
+                t_start = time_mod.time()
+
+                def callback(xk, state):
+                    return time_mod.time() - t_start > time_budget
         else:
             opts = {"maxiter": maxiter, "ftol": 1e-12}
         res = minimize(
             obj_and_grad, z0, method=method, jac=True,
             bounds=bounds, constraints=cons,
-            options=opts,
+            options=opts, callback=callback,
         )
         viol = 0.0
         if have_cons:

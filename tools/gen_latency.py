@@ -149,7 +149,10 @@ def measure_lidar(K: int = 20, M: int = 30):
     ocp = sc.make()
     obstacles = jnp.array([[0.5, 0.25, 0.1], [0.4, -0.3, 0.12]], jnp.float32)
     wps = jnp.asarray(sc.waypoints, jnp.float32)
-    cfg = gn.GNConfig(Nc=sc.Nc, n_gn=10, n_outer=4, tol_con=1e-3)
+    # B=1 closed loop: dense normal equations (lower latency; the scan
+    # form exists for batched HBM scale — docs/LATENCY.md note)
+    cfg = gn.GNConfig(Nc=sc.Nc, n_gn=10, n_outer=4, tol_con=1e-3,
+                      normal="dense")
     f = jax.jit(functools.partial(
         closed_loop_lidar, sim_obstacles=obstacles, waypoints=wps,
         cfg=cfg, max_steps=K))

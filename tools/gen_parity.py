@@ -64,6 +64,10 @@ CASES = [
     ("two_robot_centralized", None, 1),  # N=50
     ("five_robot", None, 2),        # N=70   (...multi_centralized...py:116)
     ("six_robot_antipodal", None, 4),    # N=35 (headline, :128)
+    # family G: the hardware six-robot config (reduced limits, dmin=0.4 —
+    # centralized_six_robots_implementation.py:197-205) — same NLP class as
+    # family E, open-loop parity row closes VERDICT r2 missing #4
+    ("six_robot_impl", None, 2),
     ("eight_robot", None, 1),       # N=5
     ("ten_robot", None, 2),         # N=20   (...ten...py:170)
 ]
@@ -115,10 +119,12 @@ def run_family_e(rows):
         polish = np.abs(U_p - U_ours).max()
         cost_tc = None
         if abs(float(res.cost) - cost_o) / (1 + abs(cost_o)) > TC_GAP_TRIGGER:
+            # time_budget bounds the interior-point cross-check: the m=6
+            # N=35 KKT is ~2600 rows and unbudgeted trust-constr ran >1 h
             _, _, cost_tc = solve_oracle(
                 x0, xs, ocp.N, float(ocp.T), dmin=dmin,
                 v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
-                method="trust-constr",
+                method="trust-constr", time_budget=420.0,
             )
         r = row_dict(name, sc, ocp, float(res.cost), float(res.viol), t_ours,
                      cost_o, cost_p, float(polish), t_orc, cost_tc)
@@ -144,7 +150,7 @@ def run_family_h(rows):
             obstacles=obstacles, robot_radius=float(ocp.robot_radius),
             obs_margin=float(ocp.obs_margin),
             v_max=sc.v_max, omega_max=sc.omega_max, maxiter=400,
-            method="trust-constr",
+            method="trust-constr", time_budget=900.0,
         )
         t0 = time.time()
         U_o, X_o, cost_o = solve_oracle(x0, xs, ocp.N, float(ocp.T),
@@ -232,12 +238,7 @@ def run_family_i(rows):
               f"tc {cost_tc} dU {polish:.2e} viol {r['viol']:.1e}", flush=True)
 
 
-def main():
-    rows = []
-    run_family_e(rows)
-    run_family_h(rows)
-    run_family_i(rows)
-
+def write_doc(rows):
     os.makedirs("docs", exist_ok=True)
     with open("docs/PARITY.md", "w") as f:
         f.write(
@@ -277,7 +278,25 @@ def main():
                 f"{'yes' if r['better'] else ''} | {r['viol']:.1e} | "
                 f"{r['polish']:.2e} | {r['t_ours']:.2f} / {r['t_orc']:.1f} |\n"
             )
-    print("wrote docs/PARITY.md")
+
+
+class _FlushingRows(list):
+    """Rewrite docs/PARITY.md after every appended row so a long run killed
+    mid-flight (trust-constr cases are minutes each) still leaves the
+    completed rows on disk."""
+
+    def append(self, r):
+        super().append(r)
+        write_doc(self)
+
+
+def main():
+    rows = _FlushingRows()
+    run_family_e(rows)
+    run_family_h(rows)
+    run_family_i(rows)
+    write_doc(rows)
+    print(f"wrote docs/PARITY.md ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
