@@ -49,6 +49,27 @@ DEEP_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001,
                3e-4, 1e-4, 3e-5, 1e-5)
 TIGHT = ALILQRConfig(tol_cost=1e-9, n_inner=60, n_outer=20, tol_con=1e-5,
                      alphas=DEEP_ALPHAS)
+# The deep grid is load-bearing on the stiff-AL cases (two_robot_swap,
+# obstacle_scenario_1) but can CREEP on easy long-horizon ones: on tb3_2
+# (N=200, boxes only) it accepts micro-steps that big steps' Armijo
+# failures would have skipped, burning 133 inner iterations to stop 1.1e-4
+# short of the optimum the standard grid reaches in 54. The engine solve is
+# therefore a two-config best-of (the oracle side is multi-started; giving
+# the engine its two standard configs is the symmetric treatment).
+TIGHT_STD = dataclasses.replace(TIGHT, alphas=ALILQRConfig().alphas)
+
+
+def engine_solve(ocp):
+    """Best feasible result over the deep- and standard-grid configs."""
+    t0 = time.time()
+    best = None
+    for cfg in (TIGHT, TIGHT_STD):
+        r = jax.jit(functools.partial(solve, cfg=cfg))(ocp)
+        r.X.block_until_ready()
+        key = (float(r.viol) > 1e-5, float(r.cost))
+        if best is None or key < best[0]:
+            best = (key, r)
+    return best[1], time.time() - t0
 
 # second oracle: scipy trust-constr (interior point — IPOPT's algorithm
 # family). Run on every row whose raw SLSQP gap exceeds this, to confirm
@@ -97,10 +118,7 @@ def run_family_e(rows):
     for name, N_over, starts in CASES:
         sc = get(name)
         ocp = sc.make() if N_over is None else sc.make(N=N_over)
-        t0 = time.time()
-        res = jax.jit(functools.partial(solve, cfg=TIGHT))(ocp)
-        res.X.block_until_ready()
-        t_ours = time.time() - t0
+        res, t_ours = engine_solve(ocp)
         x0 = np.array(ocp.x0, float)
         xs = np.array(ocp.xref[-1], float)
         dmin = float(np.sqrt(float(ocp.dmin2))) if sc.collision else 0.0
@@ -139,10 +157,7 @@ def run_family_h(rows):
     for name, N_over, starts in OBSTACLE_CASES:
         sc = get(name)
         ocp = sc.make() if N_over is None else sc.make(N=N_over)
-        t0 = time.time()
-        res = jax.jit(functools.partial(solve, cfg=TIGHT))(ocp)
-        res.X.block_until_ready()
-        t_ours = time.time() - t0
+        res, t_ours = engine_solve(ocp)
         x0 = np.array(ocp.x0, float)
         xs = np.array(ocp.xref[-1], float)
         obstacles = [tuple(map(float, o)) for o in np.array(ocp.obstacles)]
