@@ -113,6 +113,48 @@ def _chol_solve(L_inv, RHS):
     return jnp.stack(x, axis=0)          # [m, r, T]
 
 
+def _chol_solve_inv(L_inv, RHS):
+    """Solve (L L^T) X = RHS via the explicit triangular inverse.
+
+    NEGATIVE RESULT — kept as the measured alternative, not used by the
+    production kernels. Hypothesis: `_chol_solve`'s substitutions are 2m
+    serial [r, T] rows, so at m = 12 the phase should be bound by its
+    dependency chain; building L^-1 (~m^3/6 extra narrow ops as m
+    independent column chains) makes both triangular applications
+    row-independent wide FMAs. In the simplified fixed-iteration ablation
+    harness this measured 16% faster (tools/exp_mega_phases.py
+    'inv_solve'), but in the REAL megakernel it is ~5% SLOWER end-to-end
+    (60.0k vs 63.2k solves/s, identical convergence statistics) — the
+    production kernel's done-gating and larger live set evidently let
+    Mosaic hide the substitution latency already, while the inverse's
+    ~78 extra live [1, T] values add register pressure. Lesson recorded
+    in docs/ROOFLINE.md: ablation-harness wins must be confirmed in the
+    production kernel before porting."""
+    L, invs = L_inv
+    m = len(L)
+    Linv = [[None] * m for _ in range(m)]
+    for j in range(m):
+        Linv[j][j] = invs[j]
+        for i in range(j + 1, m):
+            acc = L[i][j] * Linv[j][j]
+            for k in range(j + 1, i):
+                acc = acc + L[i][k] * Linv[k][j]
+            Linv[i][j] = -invs[i] * acc
+    y = []
+    for i in range(m):
+        acc = Linv[i][0] * RHS[0]
+        for k in range(1, i + 1):
+            acc = acc + Linv[i][k] * RHS[k]
+        y.append(acc)
+    x = [None] * m
+    for i in range(m):
+        acc = Linv[i][i] * y[i]
+        for k in range(i + 1, m):
+            acc = acc + Linv[k][i] * y[k]
+        x[i] = acc
+    return jnp.stack(x, axis=0)          # [m, r, T]
+
+
 def _make_kernel(N, n, m, reg):
     """Kernel for one stage *chunk*: consumes the incoming value function
     (Vx, Vxx, dV1) and emits the outgoing one, so long horizons are processed

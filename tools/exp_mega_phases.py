@@ -177,6 +177,35 @@ def make_kernel(ocp: OCP, P, cfg, mode: str):
                         [dinv[i] * Qu[i: i + 1] for i in range(mc)], axis=0)
                     Kfb = -jnp.concatenate(
                         [dinv[i] * Qux[i: i + 1] for i in range(mc)], axis=0)
+                elif mode == "inv_solve":
+                    # explicit L^-1: the substitutions' 2m serial [19,T]
+                    # rows become row-independent wide FMAs; the inverse
+                    # build is m independent narrow column chains
+                    L, invs = _chol(Quu, reg)
+                    Linv = [[None] * mc for _ in range(mc)]
+                    for j in range(mc):
+                        Linv[j][j] = invs[j]
+                        for i in range(j + 1, mc):
+                            acc = L[i][j] * Linv[j][j]
+                            for kk in range(j + 1, i):
+                                acc = acc + L[i][kk] * Linv[kk][j]
+                            Linv[i][j] = -invs[i] * acc
+                    RHS = jnp.concatenate([Qu, Qux], axis=1)
+                    ys = []
+                    for i in range(mc):
+                        acc = Linv[i][0] * RHS[0]
+                        for kk in range(1, i + 1):
+                            acc = acc + Linv[i][kk] * RHS[kk]
+                        ys.append(acc)
+                    xs_ = [None] * mc
+                    for i in range(mc):
+                        acc = Linv[i][i] * ys[i]
+                        for kk in range(i + 1, mc):
+                            acc = acc + Linv[kk][i] * ys[kk]
+                        xs_[i] = acc
+                    sol = jnp.stack(xs_, axis=0)
+                    kff = -sol[:, :1]
+                    Kfb = -sol[:, 1:]
                 else:
                     L = _chol(Quu, reg)
                     sol = _chol_solve(L, jnp.concatenate([Qu, Qux], axis=1))
@@ -344,7 +373,7 @@ def main():
     print(f"B={B}, fixed {iters_total} iterations per lane, backend="
           f"{jax.default_backend()}")
     base_t = None
-    for mode in ["full", "no_ls", "no_solve", "no_expcon", "sweep_only"]:
+    for mode in ["full", "inv_solve", "no_ls", "no_solve", "no_expcon", "sweep_only"]:
         f = jax.jit(functools.partial(run_mode, base, cfg=cfg, mode=mode))
         r = f(x0_l, xref_l, lam_l, mu_l, U_l)
         _ = float(r[2][0, 0, 0])
