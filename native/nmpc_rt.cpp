@@ -32,11 +32,17 @@ namespace {
 constexpr uint32_t kMagic = 0x4e4d5043;  // "NMPC"
 constexpr int kMaxVals = 64;             // doubles per topic message
 
+// Double-buffered seqlock topic. Publish k (1-based) writes slot (k & 1);
+// once it completes (seq == 2k) the writer does not touch that slot again
+// until publish k+2 BEGINS (seq == 2k+3). Readers therefore always have one
+// full stable snapshot available even under a writer publishing in a tight
+// loop — the failure mode a single-buffer seqlock has on an oversubscribed
+// host (reader starved out of its validation window by a saturating writer).
 struct Topic {
-  std::atomic<uint64_t> seq{0};  // even = stable, odd = write in progress
-  double data[kMaxVals];
-  std::atomic<uint64_t> stamp_ns{0};
-  int count{0};
+  std::atomic<uint64_t> seq{0};  // publishes started; odd = write in progress
+  double data[2][kMaxVals];
+  uint64_t stamp_ns[2] = {0, 0};
+  int count[2] = {0, 0};
 };
 
 struct Bus {
@@ -87,36 +93,62 @@ int nmpc_bus_publish(void* b, int topic, const double* data, int count) {
     return -1;
   Topic& t = bus->topics[topic];
   uint64_t s = t.seq.load(std::memory_order_relaxed);
-  t.seq.store(s + 1, std::memory_order_release);  // odd: writing
-  std::memcpy(t.data, data, sizeof(double) * count);
-  t.count = count;
-  t.stamp_ns.store(now_ns(), std::memory_order_relaxed);
-  t.seq.store(s + 2, std::memory_order_release);  // even: stable
+  uint64_t k = s / 2 + 1;  // this publish's 1-based index
+  int slot = (int)(k & 1);
+  t.seq.store(s + 1, std::memory_order_relaxed);  // odd: writing `slot`
+  // Full fence: the slot writes below must not be reordered before the odd
+  // store (a release store alone does not order SUBSEQUENT plain writes).
+  std::atomic_thread_fence(std::memory_order_seq_cst);
+  std::memcpy(t.data[slot], data, sizeof(double) * count);
+  t.count[slot] = count;
+  t.stamp_ns[slot] = now_ns();
+  t.seq.store(s + 2, std::memory_order_release);  // even: publish k complete
   return 0;
 }
 
-// Tear-free latch of the latest value. Returns the element count (0 if the
-// topic has never been published), or -1 on bad args.
+// Tear-free latch of the latest stable value. Returns the element count
+// (0 if the topic has never completed a publish), or -1 on bad args.
+//
+// Double buffering makes this effectively wait-free for the reader: the last
+// COMPLETED publish kc lives in slot (kc & 1), which the writer will not
+// touch again until publish kc+2 begins (seq >= 2*kc+3). A retry is needed
+// only if the writer completes a publish AND starts another while this
+// reader is inside one small memcpy; the backoff below (yield, then
+// microsleeps) makes repeated collisions vanishingly unlikely even with a
+// tight-spinning writer on an oversubscribed host. A latch can therefore
+// return a slightly stale-but-consistent snapshot instead of failing —
+// exactly the semantics a control loop wants from a busy odometry topic.
 int nmpc_bus_latch(void* b, int topic, double* out, int max_count,
                    uint64_t* stamp_ns) {
   Bus* bus = static_cast<Bus*>(b);
   if (topic < 0 || topic >= (int)bus->topics.size()) return -1;
   Topic& t = bus->topics[topic];
   for (int attempt = 0; attempt < 1000; ++attempt) {
+    if (attempt >= 4) {
+      if (attempt < 16) {
+        std::this_thread::yield();
+      } else {
+        int shift = attempt - 16 < 7 ? attempt - 16 : 7;  // cap 128 us
+        std::this_thread::sleep_for(std::chrono::microseconds(1 << shift));
+      }
+    }
     uint64_t s0 = t.seq.load(std::memory_order_acquire);
-    if (s0 == 0) return 0;       // never published
-    if (s0 & 1) continue;        // write in progress
-    int n = t.count < max_count ? t.count : max_count;
+    uint64_t kc = s0 / 2;  // last completed publish (0 if none)
+    if (kc == 0) return 0;
+    int slot = (int)(kc & 1);
+    int n = t.count[slot] < max_count ? t.count[slot] : max_count;
     double tmp[kMaxVals];
-    std::memcpy(tmp, t.data, sizeof(double) * n);
-    uint64_t stamp = t.stamp_ns.load(std::memory_order_relaxed);
-    if (t.seq.load(std::memory_order_acquire) == s0) {
+    std::memcpy(tmp, t.data[slot], sizeof(double) * n);
+    uint64_t stamp = t.stamp_ns[slot];
+    std::atomic_thread_fence(std::memory_order_acquire);
+    uint64_t s1 = t.seq.load(std::memory_order_relaxed);
+    if (s1 < 2 * kc + 3) {  // publish kc+2 not started: slot was stable
       std::memcpy(out, tmp, sizeof(double) * n);
       if (stamp_ns) *stamp_ns = stamp;
       return n;
     }
   }
-  return -2;  // writer livelock (should not happen with one writer)
+  return -2;  // unreachable in practice (see wait-freedom note above)
 }
 
 // ---------------- UDP transport ----------------

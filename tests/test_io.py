@@ -29,24 +29,40 @@ def test_bus_publish_latch_roundtrip():
 
 
 def test_bus_concurrent_latch_is_tear_free():
+    # A saturating writer on a 2-CPU box used to starve the single-buffer
+    # seqlock reader out of its validation window (latch rc=-2) — and the
+    # reader thread died silently while the test kept passing. The bus is now
+    # double-buffered (the last completed publish stays readable while the
+    # next one is written), and this test fails if either thread dies or the
+    # reader makes no progress.
     import threading
 
     bus = Bus(1)
     stop = threading.Event()
     bad = []
+    errors = []
+    reads = [0]
 
     def writer():
-        i = 0
-        while not stop.is_set():
-            v = float(i % 1000)
-            bus.publish(0, [v, v, v])
-            i += 1
+        try:
+            i = 0
+            while not stop.is_set():
+                v = float(i % 1000)
+                bus.publish(0, [v, v, v])  # tight loop: saturating writer
+                i += 1
+        except BaseException as e:  # noqa: BLE001 — any death must fail the test
+            errors.append(("writer", repr(e)))
 
     def reader():
-        while not stop.is_set():
-            a, _ = bus.latch(0, 3)
-            if a is not None and not (a[0] == a[1] == a[2]):
-                bad.append(a.copy())
+        try:
+            while not stop.is_set():
+                a, _ = bus.latch(0, 3)
+                if a is not None:
+                    reads[0] += 1
+                    if not (a[0] == a[1] == a[2]):
+                        bad.append(a.copy())
+        except BaseException as e:  # noqa: BLE001
+            errors.append(("reader", repr(e)))
 
     ths = [threading.Thread(target=writer), threading.Thread(target=reader)]
     for t in ths:
@@ -55,7 +71,9 @@ def test_bus_concurrent_latch_is_tear_free():
     stop.set()
     for t in ths:
         t.join()
+    assert not errors, f"thread died during the window: {errors}"
     assert not bad, f"torn reads observed: {bad[:3]}"
+    assert reads[0] >= 100, f"reader starved: only {reads[0]} latches in 0.5 s"
     bus.close()
 
 
