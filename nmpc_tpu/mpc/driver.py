@@ -97,6 +97,15 @@ class MPCConfig:
     # reference-faithful.
     delay_compensate: bool = False
 
+    def __post_init__(self):
+        # the per-robot escape state packs the parking-latch sentinel
+        # (_ESC_LATCH = 1000) and the blocked-stall counter into one int32;
+        # a counter reaching the sentinel would alias as "parked"
+        if self.escape_stall_steps >= 1000:
+            raise ValueError(
+                f"escape_stall_steps must be < 1000 (the parking-latch "
+                f"sentinel), got {self.escape_stall_steps}")
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -245,6 +254,18 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
         pos2 = pose[:, :2]
         diff = pos2[:, None] - pos2[None]  # [m, m, 2]: row i minus others
         d2 = jnp.sum(diff**2, axis=-1) + jnp.eye(m, dtype=x.dtype) * 1e9
+        if ocp.n_obs:
+            # Static obstacles join the clearance gate and the repulsion sum
+            # as phantom neighbors at their centers, with the surface
+            # distance (center distance minus both radii) standing in for
+            # the robot-robot distance — otherwise a blocked robot could
+            # retreat straight into an obstacle keep-out region.
+            odiff = pos2[:, None] - ocp.obstacles[None, :, :2]  # [m, n_obs, 2]
+            od = jnp.sqrt(jnp.sum(odiff**2, axis=-1))
+            od_eff = jnp.maximum(
+                od - ocp.obstacles[None, :, 2] - ocp.robot_radius, 1e-3)
+            diff = jnp.concatenate([diff, odiff], axis=1)
+            d2 = jnp.concatenate([d2, od_eff**2], axis=1)
         mind_i = jnp.sqrt(jnp.min(d2, axis=1))
         gate = 1.5 * jnp.sqrt(ocp.dmin2)
         clear = mind_i > gate

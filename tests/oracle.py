@@ -184,17 +184,22 @@ def solve_oracle(
     def run(z0):
         callback = None
         if method == "trust-constr":
-            # Second-oracle cross-check: it confirms or refutes 1e-4-class
-            # cost-gap claims, so ~1e-6 relative cost suffices. The earlier
-            # floor of max(maxiter, 1000) iterations at gtol 1e-10 made a
-            # single m=6 N=35 case run for over an hour (each interior-point
-            # iteration factors a ~2600-row KKT system in f64 scipy).
-            opts = {"maxiter": maxiter, "gtol": 1e-8, "xtol": 1e-10}
             if time_budget is not None:
+                # Time-budgeted second-oracle cross-check: it confirms or
+                # refutes 1e-4-class cost-gap claims, so ~1e-6 relative cost
+                # suffices. A floor of max(maxiter, 1000) iterations at gtol
+                # 1e-10 made a single m=6 N=35 case run for over an hour
+                # (each interior-point iteration factors a ~2600-row KKT
+                # system in f64 scipy).
+                opts = {"maxiter": maxiter, "gtol": 1e-8, "xtol": 1e-10}
                 t_start = time_mod.time()
 
                 def callback(xk, state):
                     return time_mod.time() - t_start > time_budget
+            else:
+                # Unbudgeted callers get the full-strength oracle.
+                opts = {"maxiter": max(maxiter, 1000), "gtol": 1e-10,
+                        "xtol": 1e-12}
         else:
             opts = {"maxiter": maxiter, "ftol": 1e-12}
         res = minimize(
