@@ -88,17 +88,16 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
     B[3r+1, 2r] = dt sinθ =: bs[r], B[3r+2, 2r+1] = dt. The backward sweep
     consumes these [1, T] lane vectors directly (see `bwd`).
 
-    Constraint rows are evaluated as [rows, T] sublane-packed blocks
-    (pairs / obstacles / moving obstacles / u-box / x-box — the lam rows
-    are contiguous per block, so the dual gather is a single slice), with
-    only the per-row gradient scatter into lx and the dense lxx/luu
-    assembly left at [1, T] granularity. The per-row form computed every
-    activation/gradient/weight as its own [1, T] op with 7/8 of each vreg
-    idle, which tools/exp_mega_phases.py measured at 51% of total kernel
-    time at fixed iterations — the same sublane-starvation the round-2
-    merit rewrite fixed for the line search. Measured (v5e, six-robot
-    N=10, B=32768, 40 fixed iterations): 427 -> 298 ms with bit-identical
-    outputs (tools/exp_blocked_expansions.py).
+    Constraint rows are evaluated block-vectorized. Round 3 packed the
+    activation/gradient/weight math into [rows, T] blocks (the per-row
+    [1, T] form was 51% of kernel cycles, tools/exp_mega_phases.py);
+    round 4 removes the remaining per-entry residue (gradient scatters
+    into lx + dense lxx/luu assembly, ~30% of post-rewrite cycles): pair
+    rows live as [m, m, T] antisymmetric/symmetric matrices, the lx
+    scatter is one row-sum reduction per coordinate, obstacle/moving rows
+    reduce per robot, and lxx/luu assemble from eye-masked diagonals plus
+    [m, 1, T]-wide robot-block column slices — no [1, T] entry ops remain
+    in the assembly.
 
     mp: precomputed `_merit_params` blocks (computed on the fly when
     None — pass it in hot loops)."""
@@ -126,28 +125,77 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
     lu_blk = 2.0 * mp["r"] * u                     # [mc, T]
 
     row = 0
-    # ---- pair rows as one [n_pairs, T] block ----
-    pair_blk = None
+    # ---- pair rows in MATRIX form (round 4) ----
+    # The round-3 blocked form still scattered gradients into lx and
+    # assembled dense lxx/luu entry-by-entry ([1, T] granularity) — measured
+    # at ~30% of kernel cycles post-rewrite (docs/ROOFLINE.md ablation).
+    # Matrix form removes the per-entry residue: all pair quantities live as
+    # [m, m, T] antisymmetric/symmetric matrices built with wide VPU ops;
+    # the lx scatter becomes one row-sum reduction per coordinate, and the
+    # pair Hessian becomes per-robot-block matrices assembled into dense
+    # lxx with [m, 1, T]-wide column slices instead of 324 [1, T] entries.
+    # The only remaining per-entry work is gathering the packed pair
+    # multipliers into the symmetric [m, m, T] matrix (upper rows are
+    # contiguous slices of lam; lower entries are single-row gathers).
+    Bxx = Byy = Bxy = None       # [m, m, T] off-diagonal robot-block Hessians
+    grad_x = grad_y = None       # [m, T] summed lx gradient contributions
+    Dxx = Dyy = Dxy = None       # [m, T] diagonal-block Hessian additions
     if ocp.n_pairs:
-        I, J = pair_indices(nrob)
-        xi = jnp.concatenate([x[3 * i: 3 * i + 1] for i in I], axis=0)
-        yi = jnp.concatenate([x[3 * i + 1: 3 * i + 2] for i in I], axis=0)
-        xj = jnp.concatenate([x[3 * j: 3 * j + 1] for j in J], axis=0)
-        yj = jnp.concatenate([x[3 * j + 1: 3 * j + 2] for j in J], axis=0)
-        dx, dy = xi - xj, yi - yj
-        c_blk = dx * dx + dy * dy - prm[0, P.dmin2]
-        act = jnp.maximum(0.0, lam_k[row: row + ocp.n_pairs] - mu * c_blk)
+        xv = jnp.concatenate([x[3 * i: 3 * i + 1] for i in range(nrob)], axis=0)
+        yv = jnp.concatenate([x[3 * i + 1: 3 * i + 2] for i in range(nrob)], axis=0)
+        dxm = xv[:, None, :] - xv[None, :, :]      # [m, m, T], antisymmetric
+        dym = yv[:, None, :] - yv[None, :, :]
+        c_mat = dxm * dxm + dym * dym - prm[0, P.dmin2]
+        # symmetric multiplier matrix from the packed pair rows: row i =
+        # [pairs (j, i) for j < i] ++ [0] ++ [pairs (i, j) for j > i]; the
+        # upper part is one contiguous lam slice
+        offs, o = [], row
+        for i in range(nrob):
+            offs.append(o)
+            o += nrob - 1 - i
+        lam_rows = []
+        for i in range(nrob):
+            parts = []
+            for j in range(i):
+                p = offs[j] + (i - j - 1)
+                parts.append(lam_k[p: p + 1])
+            parts.append(jnp.zeros_like(mu))
+            if i + 1 < nrob:
+                parts.append(lam_k[offs[i]: offs[i] + (nrob - 1 - i)])
+            lam_rows.append(jnp.concatenate(parts, axis=0)
+                            if len(parts) > 1 else parts[0])
+        lam_mat = jnp.stack(lam_rows, axis=0)      # [m, m, T]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (nrob, nrob, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nrob, nrob, 1), 1)
+        offdiag = (ri != ci).astype(x.dtype)       # [m, m, 1]
+        act = jnp.maximum(0.0, lam_mat - mu * c_mat) * offdiag
         act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
         w = mu * (act > 0.0).astype(act.dtype)
-        gx, gy = 2.0 * dx, 2.0 * dy
-        gxa, gya = gx * act, gy * act              # lx contributions
-        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy
-        nwxx, nwyy, nwxy = -wxx, -wyy, -wxy
-        pair_blk = (I, J, gxa, gya, wxx, wyy, wxy, nwxx, nwyy, nwxy)
+        gx, gy = 2.0 * dxm, 2.0 * dym
+        gxa, gya = gx * act, gy * act              # antisymmetric
+        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy  # symmetric
+        # lx row 3i picks up -sum_j gxa[i, j] (covers both pair orientations
+        # via antisymmetry); Hessian diag blocks pick up the row sums
+        grad_x = jnp.sum(gxa, axis=1)              # [m, T]
+        grad_y = jnp.sum(gya, axis=1)
+        Dxx = jnp.sum(wxx, axis=1)
+        Dyy = jnp.sum(wyy, axis=1)
+        Dxy = jnp.sum(wxy, axis=1)
+        Bxx, Byy, Bxy = -wxx, -wyy, -wxy
         row += ocp.n_pairs
 
-    # ---- obstacle rows as one [m*n_obs, T] block ----
-    obs_blk = None
+    def _acc(base, add):
+        return add if base is None else base + add
+
+    def _robot_sums(blk, per):
+        """[m*per, T] robot-major block -> [m, T] per-robot row sums."""
+        if per == 1:
+            return blk
+        return jnp.concatenate(
+            [jnp.sum(blk[i * per: (i + 1) * per], axis=0, keepdims=True)
+             for i in range(nrob)], axis=0)
+
+    # ---- obstacle rows as one [m*n_obs, T] block, reduced per robot ----
     if ocp.n_obs:
         px = jnp.concatenate([x[3 * i: 3 * i + 1]
                               for i in range(nrob)
@@ -163,13 +211,14 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
         act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
         w = mu * (act > 0.0).astype(act.dtype)
         ux, uy = dxo / dist, dyo / dist
-        uxa, uya = ux * act, uy * act
-        wxx, wyy, wxy = w * ux * ux, w * uy * uy, w * ux * uy
-        obs_blk = (uxa, uya, wxx, wyy, wxy)
+        grad_x = _acc(grad_x, _robot_sums(ux * act, ocp.n_obs))
+        grad_y = _acc(grad_y, _robot_sums(uy * act, ocp.n_obs))
+        Dxx = _acc(Dxx, _robot_sums(w * ux * ux, ocp.n_obs))
+        Dyy = _acc(Dyy, _robot_sums(w * uy * uy, ocp.n_obs))
+        Dxy = _acc(Dxy, _robot_sums(w * ux * uy, ocp.n_obs))
         row += cnt
 
-    # ---- moving-obstacle rows as one [m*n_mov, T] block ----
-    mov_blk = None
+    # ---- moving-obstacle rows as one [m*n_mov, T] block, reduced per robot ----
     if ocp.n_mov:
         px = jnp.concatenate([x[3 * i: 3 * i + 1]
                               for i in range(nrob)
@@ -183,14 +232,18 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
         my = jnp.concatenate([mov_k[2 * o + 1: 2 * o + 2]
                               for _ in range(nrob)
                               for o in range(ocp.n_mov)], axis=0)
-        dxm, dym = px - mx, py - my
-        c_blk = dxm * dxm + dym * dym - prm[0, P.dmin2]
+        dxv, dyv = px - mx, py - my
+        c_blk = dxv * dxv + dyv * dyv - prm[0, P.dmin2]
         cnt = nrob * ocp.n_mov
         act = jnp.maximum(0.0, lam_k[row: row + cnt] - mu * c_blk)
         act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
         w = mu * (act > 0.0).astype(act.dtype)
-        gx, gy = 2.0 * dxm, 2.0 * dym
-        mov_blk = (gx * act, gy * act, w * gx * gx, w * gy * gy, w * gx * gy)
+        gx, gy = 2.0 * dxv, 2.0 * dyv
+        grad_x = _acc(grad_x, _robot_sums(gx * act, ocp.n_mov))
+        grad_y = _acc(grad_y, _robot_sums(gy * act, ocp.n_mov))
+        Dxx = _acc(Dxx, _robot_sums(w * gx * gx, ocp.n_mov))
+        Dyy = _acc(Dyy, _robot_sums(w * gy * gy, ocp.n_mov))
+        Dxy = _acc(Dxy, _robot_sums(w * gx * gy, ocp.n_mov))
         row += cnt
 
     # ---- u-box rows as [mc, T] blocks ----
@@ -211,90 +264,53 @@ def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
     dxd_blk = mu * ((a_lo_x > 0.0).astype(mu.dtype)
                     + (a_hi_x > 0.0).astype(mu.dtype))  # [n, T]
 
-    # ---- assemble lx rows: block part + pair/obs/mov scatters ----
-    lx_rows = [lx_blk[i: i + 1] - a_lo_x[i: i + 1] + a_hi_x[i: i + 1]
-               for i in range(n)]
-    if pair_blk is not None:
-        (I, J, gxa, gya, *_rest) = pair_blk
-        for p, (i, j) in enumerate(zip(I, J)):
-            lx_rows[3 * i] = lx_rows[3 * i] - gxa[p: p + 1]
-            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya[p: p + 1]
-            lx_rows[3 * j] = lx_rows[3 * j] + gxa[p: p + 1]
-            lx_rows[3 * j + 1] = lx_rows[3 * j + 1] + gya[p: p + 1]
-    if obs_blk is not None:
-        uxa, uya = obs_blk[0], obs_blk[1]
-        for i in range(nrob):
-            for o in range(ocp.n_obs):
-                q = i * ocp.n_obs + o
-                lx_rows[3 * i] = lx_rows[3 * i] - uxa[q: q + 1]
-                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uya[q: q + 1]
-    if mov_blk is not None:
-        gxa_m, gya_m = mov_blk[0], mov_blk[1]
-        for i in range(nrob):
-            for o in range(ocp.n_mov):
-                q = i * ocp.n_mov + o
-                lx_rows[3 * i] = lx_rows[3 * i] - gxa_m[q: q + 1]
-                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya_m[q: q + 1]
-    lx = jnp.stack(lx_rows, axis=0)                # [n, 1, T]
-    lu = jnp.stack([lu_blk[i: i + 1] for i in range(mc)], axis=0)
+    # ---- assemble lx: wide block ops + one interleave of the row sums ----
+    lx_full = lx_blk - a_lo_x + a_hi_x             # [n, T]
+    if grad_x is not None:
+        zrow = jnp.zeros_like(mu)
+        g_rows = []
+        for a in range(nrob):
+            g_rows += [grad_x[a: a + 1], grad_y[a: a + 1], zrow]
+        lx_full = lx_full - jnp.concatenate(g_rows, axis=0)
+    lx = lx_full[:, None, :]                       # [n, 1, T]
+    lu = lu_blk[:, None, :]                        # [mc, 1, T]
 
-    # ---- dense lxx from block slices ----
-    He = {}
-    for i in range(n):
-        He[(i, i)] = 2.0 * mp["q"][i: i + 1] + dxd_blk[i: i + 1]
+    # ---- dense lxx: eye-masked diagonal + interleaved robot blocks ----
+    rin = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cin = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    diag_full = 2.0 * mp["q"] + dxd_blk            # [n, T]
+    lxx = (rin == cin).astype(x.dtype) * diag_full[:, None, :]
+    if grad_x is not None:
+        if Bxx is None:
+            zmat = jnp.zeros((nrob, nrob, mu.shape[-1]), x.dtype)
+            Bxx = Byy = Bxy = zmat
+        rim = jax.lax.broadcasted_iota(jnp.int32, (nrob, nrob, 1), 0)
+        cim = jax.lax.broadcasted_iota(jnp.int32, (nrob, nrob, 1), 1)
+        eyem = (rim == cim).astype(x.dtype)        # [m, m, 1]
+        Bxx = Bxx + eyem * Dxx[:, None, :]
+        Byy = Byy + eyem * Dyy[:, None, :]
+        Bxy = Bxy + eyem * Dxy[:, None, :]
+        # column-interleave the robot-block matrices to [m, n, T] row
+        # groups, then row-interleave to [n, n, T] — [m, 1, T] / [1, n, T]
+        # wide slice concats, never [1, T] entries
+        colZ = jnp.zeros_like(Bxx[:, :1])
+        xcols, ycols = [], []
+        for b in range(nrob):
+            xcols += [Bxx[:, b: b + 1], Bxy[:, b: b + 1], colZ]
+            ycols += [Bxy[:, b: b + 1], Byy[:, b: b + 1], colZ]
+        row_x = jnp.concatenate(xcols, axis=1)     # [m, n, T]
+        row_y = jnp.concatenate(ycols, axis=1)
+        row_z = jnp.zeros_like(row_x[:1])          # [1, n, T]
+        rows_out = []
+        for a in range(nrob):
+            rows_out += [row_x[a: a + 1], row_y[a: a + 1], row_z]
+        lxx = lxx + jnp.concatenate(rows_out, axis=0)
 
-    def add(a, b, v):
-        He[(a, b)] = He.get((a, b), zero) + v
-
-    if pair_blk is not None:
-        (I, J, _gxa, _gya, wxx, wyy, wxy, nwxx, nwyy, nwxy) = pair_blk
-        for p, (i, j) in enumerate(zip(I, J)):
-            xi_, yi_, xj_, yj_ = 3 * i, 3 * i + 1, 3 * j, 3 * j + 1
-            sxx = wxx[p: p + 1]
-            syy = wyy[p: p + 1]
-            sxy = wxy[p: p + 1]
-            add(xi_, xi_, sxx); add(yi_, yi_, syy)
-            add(xj_, xj_, sxx); add(yj_, yj_, syy)
-            add(xi_, yi_, sxy); add(yi_, xi_, sxy)
-            add(xj_, yj_, sxy); add(yj_, xj_, sxy)
-            add(xi_, xj_, nwxx[p: p + 1]); add(xj_, xi_, nwxx[p: p + 1])
-            add(yi_, yj_, nwyy[p: p + 1]); add(yj_, yi_, nwyy[p: p + 1])
-            add(xi_, yj_, nwxy[p: p + 1]); add(yj_, xi_, nwxy[p: p + 1])
-            add(yi_, xj_, nwxy[p: p + 1]); add(xj_, yi_, nwxy[p: p + 1])
-    if obs_blk is not None:
-        wxx, wyy, wxy = obs_blk[2], obs_blk[3], obs_blk[4]
-        for i in range(nrob):
-            for o in range(ocp.n_obs):
-                q = i * ocp.n_obs + o
-                xi_, yi_ = 3 * i, 3 * i + 1
-                add(xi_, xi_, wxx[q: q + 1])
-                add(yi_, yi_, wyy[q: q + 1])
-                add(xi_, yi_, wxy[q: q + 1])
-                add(yi_, xi_, wxy[q: q + 1])
-    if mov_blk is not None:
-        wxx, wyy, wxy = mov_blk[2], mov_blk[3], mov_blk[4]
-        for i in range(nrob):
-            for o in range(ocp.n_mov):
-                q = i * ocp.n_mov + o
-                xi_, yi_ = 3 * i, 3 * i + 1
-                add(xi_, xi_, wxx[q: q + 1])
-                add(yi_, yi_, wyy[q: q + 1])
-                add(xi_, yi_, wxy[q: q + 1])
-                add(yi_, xi_, wxy[q: q + 1])
-
-    def dense(entries, rows, cols):
-        out = []
-        for a in range(rows):
-            out.append(jnp.concatenate(
-                [entries.get((a, b), zero) for b in range(cols)], axis=0))
-        return jnp.stack(out, axis=0)
-
-    lxx = dense(He, n, n)
-
-    Ue = {}
-    for i in range(mc):
-        Ue[(i, i)] = 2.0 * mp["r"][i: i + 1] + du_blk[i: i + 1]
-    luu = dense(Ue, mc, mc)
+    # ---- luu: diagonal only ----
+    riu = jax.lax.broadcasted_iota(jnp.int32, (mc, mc, 1), 0)
+    ciu = jax.lax.broadcasted_iota(jnp.int32, (mc, mc, 1), 1)
+    luu_d = 2.0 * mp["r"] + du_blk                 # [mc, T]
+    luu = (riu == ciu).astype(x.dtype) * luu_d[:, None, :]
     return e1, e2, bc, bs, lx, lu, lxx, luu
 
 

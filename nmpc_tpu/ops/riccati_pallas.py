@@ -113,6 +113,83 @@ def _chol_solve(L_inv, RHS):
     return jnp.stack(x, axis=0)          # [m, r, T]
 
 
+def _chol_rl(Quu, reg):
+    """Right-looking Cholesky: rank-1 trailing-submatrix updates.
+
+    NEGATIVE RESULT (round 4) — kept as the measured alternative, not used
+    by the production kernels, same standing as `_chol_solve_inv` below.
+    Hypothesis: the left-looking `_chol` pays ~m^2/2 serial [m, T] column
+    FMAs, while this form pays m steps of ONE wide outer-product FMA on the
+    shrinking trailing block plus the column-oriented substitutions of
+    `_chol_solve_rl` — fewer, wider ops, shorter dependency chains.
+    Measured in the PRODUCTION megakernel (v5e, six-robot N=10, B=32768,
+    bench.py, with the round-4 matrix-form expansions in both arms):
+    57,994 solves/s with _chol_rl/_chol_solve_rl vs 64,272 with the
+    left-looking pair — a 10% END-TO-END regression. Same mechanism as the
+    explicit-inverse negative (docs/ROOFLINE.md): Mosaic already hides the
+    substitution latency behind the kernel's large live set, and the
+    shrinking-block form's extra live intermediates (trailing S copies,
+    the backward pass's growing Xstack) add register pressure that costs
+    more than the chain shortening saves.
+
+    The trailing block stays symmetric, so its first COLUMN is read as its
+    first ROW (`S[0]`, a leading-dim index — no sublane gathers): this
+    reads the upper triangle where `_chol` read the lower, a rounding-level
+    (~1e-7) difference on the fp-asymmetric Quu.
+
+    Returns (cols, invs): cols[i] = column i of L from the diagonal down
+    as a [m-i, T] array (cols[i][0] is the diagonal), invs[i] = [1, T]
+    diagonal reciprocal."""
+    m = Quu.shape[0]
+    S = Quu
+    cols, invs = [], []
+    for i in range(m):
+        r0 = S[0]                                   # [m-i, T] row == col
+        d2 = r0[0:1] + reg
+        inv = 1.0 / jnp.sqrt(d2)
+        col = r0 * inv                              # col[0] = d exactly
+        cols.append(col)
+        invs.append(inv)
+        if i + 1 < m:
+            sub = col[1:]                           # [m-i-1, T]
+            S = S[1:, 1:] - jnp.expand_dims(sub, 1) * jnp.expand_dims(sub, 0)
+    return cols, invs
+
+
+def _chol_solve_rl(cols_invs, RHS):
+    """Solve (L L^T) X = RHS with column-oriented substitutions (round 4).
+
+    Companion to `_chol_rl`. Forward pass: right-looking — after computing
+    y_i, the remaining rows are updated with ONE wide outer FMA
+    ([m-i-1, r, T]) and the block shrinks; the inner-product form paid
+    ~m^2/2 separate [r, T] FMAs. Backward pass: the needed L^T row is
+    exactly cols[i][1:] (contiguous), contracted against the stack of
+    already-computed x's in one wide multiply + leading-dim reduction."""
+    cols, invs = cols_invs
+    m = len(cols)
+    Y = RHS                                         # [m-i, r, T] remaining
+    ys = []
+    for i in range(m):
+        yi = Y[0] * invs[i]
+        ys.append(yi)
+        if i + 1 < m:
+            sub = cols[i][1:]
+            Y = Y[1:] - jnp.expand_dims(sub, 1) * jnp.expand_dims(yi, 0)
+    xs = [None] * m
+    Xstack = None
+    for i in reversed(range(m)):
+        s = ys[i]
+        if Xstack is not None:
+            prod = jnp.expand_dims(cols[i][1:], 1) * Xstack
+            s = s - jnp.sum(prod, axis=0)
+        xi = s * invs[i]
+        xs[i] = xi
+        Xstack = (jnp.expand_dims(xi, 0) if Xstack is None
+                  else jnp.concatenate([jnp.expand_dims(xi, 0), Xstack],
+                                       axis=0))
+    return jnp.stack(xs, axis=0)                    # [m, r, T]
+
+
 def _chol_solve_inv(L_inv, RHS):
     """Solve (L L^T) X = RHS via the explicit triangular inverse.
 

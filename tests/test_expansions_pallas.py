@@ -121,3 +121,22 @@ def test_al_update_lanes_matches_xla():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.array(viol_k), np.array(viol_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_chol_rl_matches_left_looking():
+    """The right-looking factorization + column-oriented substitutions
+    (round 4 megakernel solve phase) must agree with the left-looking
+    `_chol`/`_chol_solve` pair on random SPD lane-major blocks — same
+    math, different op schedule (rounding-level differences only)."""
+    from nmpc_tpu.ops.riccati_pallas import (
+        _chol, _chol_rl, _chol_solve, _chol_solve_rl)
+
+    rng = np.random.default_rng(7)
+    m, r, T = 12, 19, 16
+    A = rng.normal(size=(m, m, T))
+    Quu = jnp.asarray(np.einsum("ikt,jkt->ijt", A, A) + 3.0 * np.eye(m)[:, :, None],
+                      jnp.float32)
+    RHS = jnp.asarray(rng.normal(size=(m, r, T)), jnp.float32)
+    X1 = _chol_solve(_chol(Quu, 1e-6), RHS)
+    X2 = _chol_solve_rl(_chol_rl(Quu, 1e-6), RHS)
+    np.testing.assert_allclose(np.array(X2), np.array(X1), rtol=2e-4, atol=2e-5)
