@@ -95,6 +95,16 @@ class ALILQRConfig:
                               # norm of 218 at a point the cascade's 1e-3
                               # floor could not descend from; alphas down to
                               # 1e-5 reach the f64 oracle optimum).
+    cold_seed: str = "zero"   # initial controls when no WarmStart is given:
+                              # "zero" = U = 0 (reference-faithful: the
+                              # scripts warm-start X0 = repmat(x0) which
+                              # implies zero initial motion); "polar" =
+                              # roll a per-robot polar go-to-goal law
+                              # through the plant and seed its controls —
+                              # the solver starts from a moving, roughly
+                              # goal-directed trajectory instead of rest
+                              # (batched paths only; ignored for
+                              # ray-augmented problems)
     sweep: str = "seq"        # backward pass: "seq" = O(N) Riccati scan,
                               # "scan" = O(log N) associative-scan LQR
                               # (ops/assoc_lqr.py) for long horizons (the

@@ -336,6 +336,55 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
     )
 
 
+def _polar_seed(ocp_b: OCP, Bt: int) -> jax.Array:
+    """Cold-start controls from a per-robot polar go-to-goal law rolled
+    through the model (ALILQRConfig.cold_seed='polar').
+
+    Seeds the descent with the clipped polar controller (turn to the goal
+    bearing, drive proportional to distance — the same law as the driver's
+    parking escape) instead of rest. Collision handling still belongs to
+    the AL loop: the seed ignores constraints on purpose (lam starts at 0
+    and mu at mu_init, exactly as with a zero seed).
+
+    MEASURED (round 4, six-robot antipodal N=10): the seed does NOT reduce
+    iterations — mean inner iterations are unchanged (45.2 with either
+    seed at B=64 CPU; identical mean at B=8 with explicit warm starts,
+    costs differing only in the 6th digit). The solve's iterations are
+    spent resolving the constraint-coupled crossing, not rebuilding motion
+    from rest, so a goal-directed unconstrained seed buys nothing on the
+    collision configs. Kept as an option for unconstrained/waypoint
+    problem classes; the bench stays on the reference-faithful zero seed.
+    (Related measured negative, same experiment: mu_init=100 cuts mean
+    inner iterations 22% at intact conv/viol, but megakernel throughput is
+    FLAT at B=32768 — executed work is bounded by each 128-lane tile's
+    straggler, not the mean. tools/_tmp_bench_mu.py-style A/B, v5e.)"""
+    m = ocp_b.m
+    N = ocp_b.N
+    goal = ocp_b.xref[:, -1, :]                       # [Bt, nx]
+    gp = goal[:, : 3 * m].reshape(Bt, m, 3)
+    v_hi = ocp_b.u_hi[0:: 2][:m]
+    w_hi = ocp_b.u_hi[1:: 2][:m]
+
+    def step(x, _):
+        pose = x[:, : 3 * m].reshape(Bt, m, 3)
+        ex = gp[..., 0] - pose[..., 0]
+        ey = gp[..., 1] - pose[..., 1]
+        dist = jnp.hypot(ex, ey)
+        bearing = jnp.arctan2(ey, ex)
+        delta = bearing - pose[..., 2]
+        delta = jnp.arctan2(jnp.sin(delta), jnp.cos(delta))
+        v = jnp.clip(1.5 * dist * jnp.cos(delta), -v_hi, v_hi)
+        v = jnp.where(jnp.abs(delta) < 1.2, v, 0.0)
+        w = jnp.clip(1.5 * delta, -w_hi, w_hi)
+        u = jnp.stack([v, w], axis=-1).reshape(Bt, 2 * m)
+        xn = _vm(lambda o, xx, uu: P.step_dynamics(o, xx, uu),
+                 dataclasses.replace(ocp_b, x0=x), x, u)
+        return xn, u
+
+    _, U = jax.lax.scan(step, ocp_b.x0, None, length=N)
+    return jnp.swapaxes(U, 0, 1)                      # [Bt, N, nu]
+
+
 def solve_one(
     ocp: OCP,
     warm: WarmStart | None = None,
@@ -375,8 +424,12 @@ def solve_batched(
     Bt = B + pad
 
     if warm is None:
+        if cfg.cold_seed == "polar" and ocp_b.num_rays == 0:
+            U0 = _polar_seed(ocp_b, Bt)
+        else:
+            U0 = jnp.zeros((Bt, N, nu), dtype)
         warm = WarmStart(
-            U=jnp.zeros((Bt, N, nu), dtype),
+            U=U0,
             lam=jnp.zeros((Bt, N, nc), dtype),
             mu=jnp.full((Bt,), cfg.mu_init, dtype),
         )

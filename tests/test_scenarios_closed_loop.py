@@ -114,3 +114,44 @@ def test_eight_robot_closed_loop_full_swap():
     r = jax.jit(functools.partial(rt_closed_loop, mpc=mpc))(ocp)
     assert bool(r.reached)
     assert float(np.min(np.asarray(r.min_dist_hist))) >= sc.dmin - 1e-2
+
+
+@pytest.mark.slow
+def test_decentralized_first_scenario_tour_with_lidar_monitor():
+    """The decentralized_first_scenario entry's COMBINED semantics
+    (decentralized_first_scenario.py:36-43,94-95): the 6-waypoint tour at
+    the longest reference horizon (N=200, T=0.05) with the script's passive
+    LiDAR min-distance monitoring running alongside (its gradient-correction
+    code is commented out in the reference, :67-80 — the scan only tracks
+    clearance). The tour must complete through every waypoint and the
+    monitored min ray distance must stay above the robot radius against an
+    off-path obstacle map."""
+    import jax.numpy as jnp
+
+    from nmpc_tpu.mpc.driver import closed_loop_waypoints
+    from nmpc_tpu.sim.lidar import ray_angles, raycast
+
+    sc = get("decentralized_first_scenario")
+    ocp = sc.make()
+    assert ocp.N == 200 and ocp.m == 1
+    wps = sc.waypoint_array
+    # ~570 steps of pure travel (6.3 m at v_max*T = 0.011 m/step) plus
+    # turn-in-place + full-pose parking at each of the 6 waypoints; 1.5x
+    # margin over the observed step count (rounding-universe sensitivity)
+    mpc = MPCConfig(max_steps=1400, advance_tol=0.075, escape=True)
+    r = jax.jit(functools.partial(
+        closed_loop_waypoints, waypoints=wps, solver_cfg=FAST, mpc=mpc))(ocp)
+    assert bool(r.reached), f"tour did not complete in {int(r.steps_used)} steps"
+    # every waypoint visited in order
+    gidx = np.asarray(r.goal_idx_hist)
+    assert gidx.max() >= wps.shape[0] - 1
+    # passive LiDAR monitor over the realized trajectory: obstacles parked
+    # off the tour's path; the monitored clearance never enters the robot
+    # radius (the reference's lidar use is exactly this telemetry)
+    obstacles = jnp.asarray([[1.8, -1.5, 0.3], [-1.6, 1.4, 0.25]], jnp.float32)
+    angles = ray_angles(12)
+    steps = int(r.steps_used)
+    poses = jnp.asarray(r.X_hist)[: steps + 1, :3]
+    scans = jax.vmap(lambda p: raycast(p, obstacles, angles))(poses)
+    min_clear = float(jnp.min(scans))
+    assert min_clear > sc.robot_radius, min_clear
