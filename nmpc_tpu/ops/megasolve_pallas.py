@@ -39,14 +39,27 @@ from nmpc_tpu.ops.riccati_pallas import _chol, _chol_solve, _mtm
 LANES = 128
 
 # v5e scoped-VMEM budget is 16 MiB per core. The formula in mega_fits is an
-# *estimate* of the compiler's scoped-VMEM demand; on hardware the Mosaic
-# compiler reports slightly more than the formula predicts (ten-robot N=20:
-# formula 15.0 MiB, compiler-reported ~15.3 MB; the pre-structured-sweep
-# formula under-predicted by ~5%: 17.0 MiB estimated vs 17.8 MB measured).
-# The gate therefore inflates the estimate by the worst observed
-# estimate-to-actual ratio before comparing against the physical budget, so
-# a near-gate shape whose true demand exceeds 16 MiB falls back to the
-# staged lane pipeline instead of hard-failing at compile time.
+# *estimate* of the compiler's scoped-VMEM demand, inflated by the worst
+# observed estimate-to-actual ratio before comparing against the physical
+# budget, so a near-gate shape whose true demand exceeds 16 MiB falls back
+# to the staged lane pipeline instead of hard-failing at compile time.
+#
+# Measured anchors (via --xla_tpu_scoped_vmem_limit_kib bisection — the
+# Mosaic OOM error reports the exact requested stack size):
+#   * round 3 (blocked expansions, per-entry assembly): ten-robot N=20
+#     formula 15.0 MiB vs compiler-reported ~15.3 MB; the pre-structured-
+#     sweep formula under-predicted by ~5% (17.0 est vs 17.8 measured) —
+#     hence _CALIBRATION = 1.05.
+#   * round 4 (matrix-form expansions): the SAME ten-robot N=20 kernel's
+#     scoped stack allocation measured 10.35M (compiles at a 10.5 MiB
+#     limit, fails at 9 MiB reporting 10.35M) — the matrix rewrite
+#     RELEASED ~5 MB of live per-entry [1, T] values, so the unchanged
+#     formula now over-predicts this shape by ~1.5x. The advisor's round-3
+#     concern (new expansion-block transients pushing a near-gate shape
+#     over) is therefore closed by measurement: the transients fit inside
+#     the formula's existing margin with ~5 MiB to spare. _CALIBRATION
+#     stays at the historical worst-case 1.05 (conservative: the gate may
+#     send a would-fit shape to the staged path, never the reverse).
 _VMEM_PHYSICAL_BYTES = 16 * 1024 * 1024
 _CALIBRATION = 1.05  # worst measured actual/estimate ratio (17.8 / 17.0)
 
