@@ -64,7 +64,28 @@ class MPCConfig:
     # the bearing of the goal whenever the solver returns a ~zero control
     # while the error is still above tolerance. Off = reference-faithful.
     escape: bool = False
-    escape_u_tol: float = 1e-3
+    escape_u_tol: float = 0.02  # PARKING stall trigger: a solve whose
+                                # controls all sit below this counts as
+                                # saddle-stalled for the parking law.
+                                # Round 4: raised from 1e-3 — the
+                                # two_robot_swap endgame showed the OCP has
+                                # stay-put basins where the TRUE optimum
+                                # (f64 oracle agrees to 3 decimals) is a
+                                # slow creep with |w| ~ 0.03: with the old
+                                # tolerance the parking law never engaged
+                                # and the loop asymptoted at err ~0.32
+                                # forever; at 0.02 the law takes over and
+                                # parks (reached in 1042 steps). Parking
+                                # requires the 1.5x-dmin clearance gate, so
+                                # the raised trigger cannot create
+                                # collisions
+    escape_block_u_tol: float = 1e-3  # RETREAT stall trigger (robots
+                                # WITHOUT clearance): kept at the strict
+                                # round-3 value on purpose — a slow-creep
+                                # yield mid-crossing must NOT count toward
+                                # the blocked-stall counter (measured: at
+                                # 0.02 the six-robot noise run retreats
+                                # mid-crossing and fails to arrive)
     escape_gain: float = 1.5
     escape_stall_steps: int = 10  # consecutive blocked-stall steps before
                                   # the deadlock-breaking retreat engages
@@ -98,13 +119,14 @@ class MPCConfig:
     delay_compensate: bool = False
 
     def __post_init__(self):
-        # the per-robot escape state packs the parking-latch sentinel
-        # (_ESC_LATCH = 1000) and the blocked-stall counter into one int32;
-        # a counter reaching the sentinel would alias as "parked"
-        if self.escape_stall_steps >= 1000:
+        # the per-robot escape state packs the parking-latch sentinel and
+        # TWO stall counters (retreat + creep-parking debounce) into one
+        # int32 with base-256 fields (driver._CNT_BASE); a counter reaching
+        # the field width would alias into the neighbor field / sentinel
+        if self.escape_stall_steps >= 255:
             raise ValueError(
-                f"escape_stall_steps must be < 1000 (the parking-latch "
-                f"sentinel), got {self.escape_stall_steps}")
+                f"escape_stall_steps must be < 255 (escape-state counter "
+                f"field width), got {self.escape_stall_steps}")
 
 
 @partial(
@@ -177,9 +199,15 @@ def _wrap_angle(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 
 
-# escape-state encoding (int32 per robot): parking-latch sentinel vs the
-# consecutive-blocked-stall counter used by the deadlock-breaking retreat
-_ESC_LATCH = 1000
+# escape-state encoding (int32 per robot): values >= _ESC_LATCH mean the
+# parking latch is engaged; otherwise the value packs TWO small counters,
+# cnt_creep * _CNT_BASE + cnt_hard — the consecutive-blocked-stall counter
+# driving the deadlock-breaking retreat (hard stalls without clearance) and
+# the creep-stall debounce driving delayed parking (round 4). Both counters
+# saturate at escape_stall_steps, which MPCConfig validates < _CNT_BASE - 1
+# so the packed value stays below the latch sentinel.
+_CNT_BASE = 256
+_ESC_LATCH = 1 << 16
 
 
 def escape_state0(m: int) -> jax.Array:
@@ -217,8 +245,10 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     stalls forever. Once triggered, retreat persists until the gate opens
     (a single pulse per K steps would never unwind the block).
 
-    The carried per-robot escape state is an int32: LATCH (1000) while the
-    parking law is engaged, else the consecutive-blocked-stall count."""
+    The carried per-robot escape state is an int32: >= _ESC_LATCH while the
+    parking law is engaged, else the packed pair of stall counters
+    (cnt_creep * _CNT_BASE + cnt_hard — see the encoding note at
+    _ESC_LATCH)."""
     m = ocp.m
     pose = x[: 3 * m].reshape(m, 3)
     gpos = goal[: 3 * m].reshape(m, 3)
@@ -233,17 +263,61 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     thresh = tol / jnp.sqrt(jnp.asarray(float(m), x.dtype))
     u_mpc = u0.reshape(m, 2)
     latch_prev = esc_flags >= _ESC_LATCH
-    cnt = jnp.where(latch_prev, 0, esc_flags)
-    stalled = (jnp.max(jnp.abs(u_mpc), axis=-1) < mpc.escape_u_tol) & (err_i > 0.7 * thresh)
-    cand = (latch_prev | stalled) & (err_i > 0.35 * thresh) & (~done)
+    raw_cnt = jnp.where(latch_prev, 0, esc_flags)
+    cnt_hard = raw_cnt % _CNT_BASE        # retreat's blocked-stall counter
+    cnt_creep = raw_cnt // _CNT_BASE      # creep-parking debounce counter
+    u_inf = jnp.max(jnp.abs(u_mpc), axis=-1)
+    # Two stall notions (round 4):
+    #   * hard stall (u below escape_block_u_tol = 1e-3): a true stationary
+    #     point — triggers parking IMMEDIATELY at any distance (the round-3
+    #     semantics the single-robot saddle and the crossing standoffs rely
+    #     on) and is the only notion the retreat counter sees.
+    #   * creep stall (u below escape_u_tol = 0.02): the solver inching at
+    #     a stay-put basin — triggers parking only after it PERSISTS
+    #     escape_stall_steps consecutive steps. The discriminator is
+    #     persistence, not distance: a noisy slow yield mid-crossing dips
+    #     under the tolerance for a step or two and must be left to the
+    #     MPC (measured: immediate creep-parking latched the sticky polar
+    #     law mid-approach on the six-robot noise run, wound robots by
+    #     full turns, and the raw-angle stop criterion never fired), while
+    #     a true stay-put basin (two_robot_swap endgame, oracle-confirmed)
+    #     creeps forever and is correctly caught.
+    K = mpc.escape_stall_steps
+    stalled_hard = (u_inf < mpc.escape_block_u_tol) & (err_i > 0.7 * thresh)
+    creep = (u_inf < mpc.escape_u_tol) & (err_i > 0.7 * thresh) & (~done)
+    persist = creep & (cnt_creep + 1 >= K)
+    cnt_creep_new = jnp.where(creep, jnp.minimum(cnt_creep + 1, K), 0)
+    cand = (latch_prev | stalled_hard | persist) & (err_i > 0.35 * thresh) & (~done)
 
     v_hi = ocp.u_hi[0 :: 2][:m]
     w_hi = ocp.u_hi[1 :: 2][:m]
-    far = dist > 0.35 * thresh
+    # Absolute 2 cm position deadband on the bearing-chasing branch: the
+    # relative gate alone (0.35*thresh = stop_tol * 0.35/sqrt(m), 1.4 cm at
+    # m=6) sits below odometry-noise scale, and the bearing to a goal a
+    # centimeter away flips direction with every noisy latch — measured on
+    # the six-robot noise run: parked robots spin-chased the jittering
+    # bearing at saturated omega, winding theta by full turns (joint err
+    # 13 with all positions within 1.6 cm). Inside the deadband the law
+    # only aligns the goal heading; the sub-2cm position residual is far
+    # inside every reference stop tolerance.
+    far = dist > jnp.maximum(0.35 * thresh, 0.02)
     aligned = jnp.abs(delta) < 1.0
-    v = jnp.where(far & aligned, jnp.clip(mpc.escape_gain * dist * jnp.cos(delta), -v_hi, v_hi), 0.0)
-    w = jnp.where(far, jnp.clip(mpc.escape_gain * delta, -w_hi, w_hi),
-                  jnp.clip(mpc.escape_gain * dth, -w_hi, w_hi))
+    # Deadbeat caps: never move/rotate more than the remaining error in one
+    # control period. Without the cap, w_hi*T (0.57 rad at the headline's
+    # T=0.2) overshoots the alignment every step; near the +-pi boundary
+    # the overshoot re-wraps and the law can wind theta by full turns —
+    # measured on the noisy six-robot endgame: three robots settled aligned
+    # but exactly 2*pi off, and the (reference-faithful, raw-angle) stop
+    # criterion never fired.
+    T_e = ocp.T
+    v_cap = jnp.minimum(v_hi, dist / T_e)
+    w_cap_d = jnp.minimum(w_hi, jnp.abs(delta) / T_e)
+    w_cap_t = jnp.minimum(w_hi, jnp.abs(dth) / T_e)
+    v = jnp.where(far & aligned,
+                  jnp.clip(mpc.escape_gain * dist * jnp.cos(delta), -v_cap, v_cap),
+                  0.0)
+    w = jnp.where(far, jnp.clip(mpc.escape_gain * delta, -w_cap_d, w_cap_d),
+                  jnp.clip(mpc.escape_gain * dth, -w_cap_t, w_cap_t))
     u_esc = jnp.stack([v, w], axis=-1)
 
     if ocp.n_pairs:
@@ -274,13 +348,13 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
         # after escape_stall_steps of them it is a mutual block, not a
         # transient yield — back out along the repulsion bearing instead of
         # freezing (docstring). Retreat persists until the gate opens.
-        K = mpc.escape_stall_steps
-        blocked = stalled & (err_i > 0.35 * thresh) & (~done) & (~clear)
-        retreating_prev = cnt >= K
+        blocked = stalled_hard & (err_i > 0.35 * thresh) & (~done) & (~clear)
+        retreating_prev = cnt_hard >= K
         retreat = ((~clear) & (~done) & (err_i > 0.35 * thresh)
-                   & (retreating_prev | (blocked & (cnt + 1 >= K))))
-        cnt_new = jnp.where(retreat, K,
-                            jnp.where(blocked, jnp.minimum(cnt + 1, K - 1), 0))
+                   & (retreating_prev | (blocked & (cnt_hard + 1 >= K))))
+        cnt_hard_new = jnp.where(
+            retreat, K,
+            jnp.where(blocked, jnp.minimum(cnt_hard + 1, K - 1), 0))
         away = jnp.sum(diff / (d2[..., None] ** 1.5), axis=1)
         beta_away = jnp.arctan2(away[:, 1], away[:, 0])
         d_away = _wrap_angle(beta_away - pose[:, 2])
@@ -288,15 +362,19 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
         # cos projects onto the heading so reverse gear is used when the
         # robot faces the crowd — either way distance is non-decreasing.
         v_ret = jnp.clip(mpc.escape_gain * (1.1 * gate - mind_i), 0.0, 0.5 * v_hi)
+        # same deadbeat rotation cap as the parking law (no winding)
+        w_cap_r = jnp.minimum(w_hi, jnp.abs(d_away) / ocp.T)
         u_ret = jnp.stack(
-            [v_ret * jnp.cos(d_away), jnp.clip(mpc.escape_gain * d_away, -w_hi, w_hi)],
+            [v_ret * jnp.cos(d_away),
+             jnp.clip(mpc.escape_gain * d_away, -w_cap_r, w_cap_r)],
             axis=-1)
         u = jnp.where(esc[:, None], u_esc, u_mpc)
         u = jnp.where(retreat[:, None], u_ret, u).reshape(2 * m)
-        return u, jnp.where(esc, _ESC_LATCH, cnt_new)
+        return u, jnp.where(esc, _ESC_LATCH,
+                            cnt_creep_new * _CNT_BASE + cnt_hard_new)
 
     u = jnp.where(cand[:, None], u_esc, u_mpc).reshape(2 * m)
-    return u, jnp.where(cand, _ESC_LATCH, 0)
+    return u, jnp.where(cand, _ESC_LATCH, cnt_creep_new * _CNT_BASE)
 
 
 def _wrap_yaw_state(ocp: OCP, x):
@@ -415,7 +493,14 @@ def closed_loop(
 def rt_closed_loop(
     ocp: OCP,
     full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12),
-    rt_cfg: ALILQRConfig = ALILQRConfig(n_outer=2, n_inner=5, tol_con=1e-3),
+    # the pinned deployment recipe (tests/test_rt_mode.py, docs/LATENCY.md):
+    # 3x10 carried-mu solves. This loop drives the per-scenario XLA engine,
+    # whose line search is the alpha cascade (cfg.ls is consumed only by
+    # the megakernel paths); the adaptive-LS rt variant is available by
+    # passing solve_fn=solve_one with ls='adaptive' and is measured at B=1
+    # in docs/LATENCY.md (faster on the headline shape, slower where the
+    # cascade exits after ~1 iteration)
+    rt_cfg: ALILQRConfig = ALILQRConfig(n_outer=3, n_inner=10, tol_con=1e-3),
     mpc: MPCConfig = MPCConfig(),
     plant: PlantConfig = PlantConfig(),
     key: jax.Array | None = None,

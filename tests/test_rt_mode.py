@@ -66,25 +66,29 @@ def test_steady_warm_bounded_six_robot():
 
 @pytest.mark.slow
 def test_rt_closed_loop_two_robot_swap():
-    """rt config in the real closed loop (shift + advancing plant): seeded by
-    one full solve, mu carried (mu_reset=False). Progresses steadily and
-    stays feasible — with the old mu reset this run stalls mid-crossing at
-    max viol ~7.7 (measured)."""
-    from nmpc_tpu.mpc.driver import MPCConfig, closed_loop, shift_warm
+    """The rt deployment recipe FINISHES the published two-robot swap
+    (mpc_online_casadi_tb3_two_centralized_collision_free.py:80-84):
+    arrival, collision-free. Round 3 could only assert a 35% error
+    reduction by step 500 — two compounding causes, both fixed in round 4:
+    (a) 500 steps is physically unwinnable (2.83 m per robot at
+    v_max*T = 4.4 mm/step needs >= 643 steps of pure travel); (b) the old
+    recipe froze at err ~0.32: the cascade line search stalls at carried
+    mu_max (fixed: adaptive LS in the rt recipe), and the OCP has a
+    stay-put basin at ~0.27 m offsets where the TRUE optimum is a creep
+    below the old escape_u_tol, so the parking law never engaged (fixed:
+    escape_u_tol=0.02 default). Measured: reached in 1042 steps, min pair
+    dist 1.360, zero planned violations."""
+    from nmpc_tpu.mpc.driver import MPCConfig, rt_closed_loop
 
     sc = get("two_robot_swap")
     ocp = sc.make()
-    res0 = jax.jit(functools.partial(solve, cfg=FULL))(ocp)
-    mpc = MPCConfig(max_steps=500, stop_tol=sc.stop_tol, escape=True,
-                    mu_reset=False)
-    warm = shift_warm(res0, RT, mu_reset=False)
-    r = closed_loop(ocp, solver_cfg=RT, mpc=mpc, warm=warm)
+    mpc = MPCConfig(max_steps=1600, stop_tol=sc.stop_tol, escape=True)
+    r = jax.jit(functools.partial(rt_closed_loop, full_cfg=FULL, mpc=mpc))(ocp)
     su = int(r.steps_used)
-    err0, errF = float(r.err_hist[0]), float(r.err_hist[min(su, 499)])
-    assert errF < 0.65 * err0, (err0, errF)       # measured 2.2 at step 500
+    assert bool(r.reached), f"did not arrive (err {float(r.err_hist[su - 1])})"
     min_dist = float(jnp.min(r.min_dist_hist[: su + 1]))
     assert min_dist >= float(jnp.sqrt(ocp.dmin2)) - 1e-2, min_dist
-    assert float(jnp.max(r.viol_hist[:su])) < 0.5  # measured 0.19
+    assert float(jnp.max(r.viol_hist[:su])) < 1e-2
 
 
 def test_mu_reset_under_carried_lam_blows_up():

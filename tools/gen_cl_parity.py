@@ -159,8 +159,8 @@ def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
 
 CONFIGS = [
     # name, max_steps, symmetric?, oracle maxiter
-    ("single_robot", 1300, False, 200),
-    ("two_robot_swap", 900, False, 200),
+    ("single_robot", 1700, False, 200),
+    ("two_robot_swap", 1300, False, 200),
     ("obstacle_scenario_1", 1400, False, 200),
     ("five_robot", 900, False, 150),
     ("six_robot_antipodal", 220, True, 150),
