@@ -220,3 +220,53 @@ def test_wrap_yaw_mode():
     assert bool(r.reached)
     thetas = np.asarray(r.X_hist)[:, 2]
     assert thetas.min() >= -1e-6 and thetas.max() < 2.0 * np.pi + 0.3
+
+
+def test_retreat_respects_static_obstacles():
+    """Advisor round-3 finding: the deadlock-breaking retreat must not back
+    a blocked robot into an obstacle keep-out region — static obstacles
+    join the repulsion sum and the clearance gate as phantom neighbors
+    (driver._escape_control). Two mutually-blocked robots with an obstacle
+    parked directly behind robot 0: after the stall persists, the retreat
+    must open the distance to the NEAREST threat (the obstacle surface at
+    0.25 eff vs the robot at 0.35 — sandwiched, it cannot open both) while
+    never violating the robot-robot keep-out. Without obstacle awareness
+    the inverse-square sum sees only the other robot and reverses robot 0
+    straight into the obstacle."""
+    import numpy as np
+
+    from nmpc_tpu.mpc.driver import MPCConfig, _escape_control, escape_state0
+    from nmpc_tpu.ocp.problem import make_ocp
+
+    obs = np.array([[-0.45, 0.0, 0.1]])  # directly behind robot 0
+    ocp = make_ocp(
+        m=2, N=5, T=0.1,
+        x0=np.array([0.0, 0.0, 0.0, 0.35, 0.0, np.pi]),
+        x_goal=np.array([2.0, 0.0, 0.0, -2.0, 0.0, np.pi]),
+        dmin=0.3, collision=True, obstacles=obs, robot_radius=0.1)
+    mpc = MPCConfig(escape=True, escape_stall_steps=3)
+    x = jnp.asarray(ocp.x0)
+    goal = jnp.asarray([2.0, 0.0, 0.0, -2.0, 0.0, np.pi], jnp.float32)
+    esc = escape_state0(2)
+    done = jnp.zeros((), bool)
+    u = None
+    for _ in range(mpc.escape_stall_steps + 1):
+        u, esc = _escape_control(ocp, mpc, x, goal, jnp.zeros(4), esc, done)
+    u = np.asarray(u)
+    # robot 0 is blocked (0.35 < 1.5*dmin from robot 1, and the obstacle
+    # surface sits 0.25 behind it): the retreat must be engaged...
+    assert abs(u[0]) > 1e-3, u
+    # ...and must not drive into either neighbor: simulate a few periods of
+    # the commanded twist and check both separations are non-decreasing
+    pose = np.array(ocp.x0[:3], float)
+    d_obs0 = np.hypot(pose[0] - obs[0, 0], pose[1] - obs[0, 1])
+    d_rob0 = 0.35
+    for _ in range(3):
+        v, w = float(u[0]), float(u[1])
+        pose[0] += 0.1 * v * np.cos(pose[2])
+        pose[1] += 0.1 * v * np.sin(pose[2])
+        pose[2] += 0.1 * w
+    d_obs = np.hypot(pose[0] - obs[0, 0], pose[1] - obs[0, 1])
+    d_rob = np.hypot(pose[0] - 0.35, pose[1])
+    assert d_obs > d_obs0 + 1e-3, (d_obs, d_obs0)   # fled the obstacle
+    assert d_rob >= 0.3, (d_rob, d_rob0)            # robot keep-out held

@@ -159,7 +159,7 @@ def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
 
 CONFIGS = [
     # name, max_steps, symmetric?, oracle maxiter
-    ("single_robot", 1700, False, 200),
+    ("single_robot", 2400, False, 200),
     ("two_robot_swap", 1300, False, 200),
     ("obstacle_scenario_1", 1400, False, 200),
     ("five_robot", 900, False, 150),
@@ -196,7 +196,12 @@ def main(names=None):
         print(f"  oracle: steps {o['steps']} reached {o['reached']} "
               f"min_dist {o['min_dist']:.3f} wall {o['wall_s']:.0f}s "
               f"| traj dev {dev:.3e}", flush=True)
+        _write_doc(rows)  # incremental: a killed run still leaves the rows
+                          # measured so far (same pattern as gen_parity)
+    _write_doc(rows)
 
+
+def _write_doc(rows):
     dmin_of = {r["name"]: float(np.sqrt(float(get(r["name"]).make().dmin2)))
                for r in rows}
     out = [
