@@ -10,6 +10,14 @@ shape. Findings (v5e, B=32768, six-robot N=10, synchronous timing):
     (B=1 latency path).
   * cold_seed='polar': no iteration change at all (see
     solver/alilqr_batched._polar_seed docstring).
+  * ls_rounds=1 (halve the adaptive LS's merit evaluations/iteration):
+    +11% throughput (71.5k) but conv drops 99.9 -> 96.0% and viol_p99
+    breaches tol (2.6e-3) -- and recovering quality with a larger
+    iteration budget ERASES the gain (rounds1 @ 6x16: 54.9k at conv
+    99.80; @ 6x20: 44.4k at conv 99.93; vs rounds2 @ 6x12: 64.5k at conv
+    99.86): fail-continue retries (a whole extra iteration incl. sweep)
+    cost more than the second merit evaluation they replace. The bench
+    stays at ls_rounds=2.
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))

@@ -80,8 +80,12 @@ def _min_pair_dist(x, m):
 
 
 def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
-                log_every=25):
-    """Python replica of the driver loop with solve_oracle as the solver."""
+                log_every=25, wall_budget_s=None):
+    """Python replica of the driver loop with solve_oracle as the solver.
+
+    wall_budget_s bounds the f64 oracle's total wall clock (the five-robot
+    config pays ~5-10 s of SLSQP per MPC step); a budgeted-out run returns
+    budget_hit=True with the trajectory measured so far."""
     m = ocp.m
     x = np.array(ocp.x0, float)
     goals = (np.array(waypoints, float) if waypoints is not None
@@ -97,8 +101,12 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
     X_hist = [x.copy()]
     min_d = _min_pair_dist(x, m)
     steps = 0
+    budget_hit = False
     t0 = time.time()
     for step in range(mpc.max_steps):
+        if wall_budget_s is not None and time.time() - t0 > wall_budget_s:
+            budget_hit = True
+            break
         goal = goals[min(gidx, G - 1)]
         err = float(np.linalg.norm(x - goal))
         if waypoints is not None:
@@ -139,7 +147,7 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
         float(np.linalg.norm(x - goal)) < mpc.stop_tol)
     return dict(X=np.array(X_hist), steps=steps, reached=bool(reached),
                 min_dist=min_d, final_err=float(np.linalg.norm(x - goal)),
-                wall_s=time.time() - t0)
+                wall_s=time.time() - t0, budget_hit=budget_hit)
 
 
 def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
@@ -158,18 +166,18 @@ def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
 
 
 CONFIGS = [
-    # name, max_steps, symmetric?, oracle maxiter
-    ("single_robot", 2400, False, 200),
-    ("two_robot_swap", 1300, False, 200),
-    ("obstacle_scenario_1", 1400, False, 200),
-    ("five_robot", 900, False, 150),
-    ("six_robot_antipodal", 220, True, 150),
+    # name, max_steps, symmetric?, oracle maxiter, oracle wall budget [s]
+    ("single_robot", 2400, False, 200, None),
+    ("two_robot_swap", 1300, False, 200, None),
+    ("obstacle_scenario_1", 1400, False, 200, None),
+    ("six_robot_antipodal", 220, True, 150, None),
+    ("five_robot", 900, False, 150, 2400.0),
 ]
 
 
 def main(names=None):
     rows = []
-    for name, max_steps, symmetric, maxiter in CONFIGS:
+    for name, max_steps, symmetric, maxiter, wall_budget in CONFIGS:
         if names and name not in names:
             continue
         sc = get(name)
@@ -183,11 +191,12 @@ def main(names=None):
         print(f"  engine: steps {e['steps']} reached {e['reached']} "
               f"min_dist {e['min_dist']:.3f}", flush=True)
         print(f"{name}: oracle-in-the-loop...", flush=True)
-        o = oracle_loop(sc, ocp, mpc, wps, maxiter=maxiter)
+        o = oracle_loop(sc, ocp, mpc, wps, maxiter=maxiter,
+                        wall_budget_s=wall_budget)
         n = min(e["X"].shape[0], o["X"].shape[0])
         dev = float(np.abs(e["X"][:n, : 3 * ocp.m]
                            - o["X"][:n, : 3 * ocp.m]).max())
-        rows.append(dict(name=name, sym=symmetric,
+        rows.append(dict(name=name, sym=symmetric, budget=o["budget_hit"],
                          e_steps=e["steps"], o_steps=o["steps"],
                          e_reached=e["reached"], o_reached=o["reached"],
                          e_md=e["min_dist"], o_md=o["min_dist"],
@@ -221,8 +230,9 @@ def _write_doc(rows):
         dev_s = (f"{r['dev']:.2e}" if not r["sym"]
                  else f"{r['dev']:.2e} (symmetric config: mirrored "
                       "crossings are equally optimal)")
+        o_mark = ("budget" if r.get("budget") else str(r["o_reached"]))
         out.append(
-            f"| {r['name']} | {r['e_reached']}/{r['o_reached']} "
+            f"| {r['name']} | {r['e_reached']}/{o_mark} "
             f"| {r['e_steps']}/{r['o_steps']} "
             f"| {r['e_md']:.3f}/{r['o_md']:.3f} | {dmin_of[r['name']]:.2f} "
             f"| {r['e_err']:.3f}/{r['o_err']:.3f} | {dev_s} |\n")
