@@ -60,6 +60,10 @@ LANES = 128
 #     the formula's existing margin with ~5 MiB to spare. _CALIBRATION
 #     stays at the historical worst-case 1.05 (conservative: the gate may
 #     send a would-fit shape to the staged path, never the reverse).
+#     NOTE: the round-4 expansion dispatch routes m > _MAT_EXPANSION_MAX_M
+#     back to the (faster at that shape) scatter path, so ten-robot's
+#     actual demand is the round-3 ~15.3 MB figure again — which is the
+#     number the formula+calibration were anchored against all along.
 _VMEM_PHYSICAL_BYTES = 16 * 1024 * 1024
 _CALIBRATION = 1.05  # worst measured actual/estimate ratio (17.8 / 17.0)
 
@@ -91,8 +95,234 @@ def mega_fits(ocp: OCP) -> bool:
     return estimate * _CALIBRATION < _VMEM_PHYSICAL_BYTES
 
 
+# Shape-dependent expansion dispatch (round 4): the matrix form wins at the
+# bench shapes (m <= 6: 62.9k -> 64.3k solves/s) but LOSES ~6% at m = 10,
+# where [m, m, T] padding (10 rows over two 8-sublane blocks) and the
+# m^2-slot multiplier gather outgrow the per-entry assembly they replace.
+# Both paths are semantically identical (same AL expansions); the bound is
+# the measured crossover.
+_MAT_EXPANSION_MAX_M = 8
+
+
 def _expansion_regs(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu, mov_k=None,
                     mp=None):
+    """Stage expansion in registers — dispatches between the matrix-form
+    (m <= _MAT_EXPANSION_MAX_M) and per-entry scatter engines; see each
+    implementation's docstring for the measured trade."""
+    if ocp.m <= _MAT_EXPANSION_MAX_M:
+        return _expansion_regs_mat(ocp, P, prm, k, x, u, xr, lam_k, mu,
+                                   mov_k, mp)
+    return _expansion_regs_scatter(ocp, P, prm, k, x, u, xr, lam_k, mu,
+                                   mov_k, mp)
+
+
+def _expansion_regs_scatter(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu,
+                            mov_k=None, mp=None):
+    """Round-3 per-entry expansion path (pair-vector blocks + scattered
+    lx/lxx/luu assembly), kept as the LARGE-m engine: at m > 8 the matrix
+    form of `_expansion_regs_mat` pays more in [m, m, T] padding and the
+    m^2-slot multiplier gather than the per-entry assembly it removes
+    (measured, ten-robot N=20 B=4096: 13.7k solves/s here vs 12.9k on the
+    matrix form). Semantics identical to the matrix path.
+    """
+    if mp is None:
+        mp = _merit_params(ocp, P, prm, mu)
+    n, mc, nrob = ocp.nx, ocp.nu, ocp.m
+    zero = jnp.zeros_like(mu)
+    one = jnp.ones_like(mu)
+    dt = prm[0, P.dt]
+
+    e1, e2, bc, bs = [], [], [], []
+    for r in range(nrob):
+        th = x[3 * r + 2: 3 * r + 3]
+        v = u[2 * r: 2 * r + 1]
+        c, s = jnp.cos(th), jnp.sin(th)
+        e1.append(-dt * v * s)
+        e2.append(dt * v * c)
+        bc.append(dt * c)
+        bs.append(dt * s)
+
+    gate = jnp.where(k == 0, zero, one)
+
+    # ---- quadratic rows as blocks ----
+    lx_blk = 2.0 * mp["q"] * (x - xr)              # [n, T]
+    lu_blk = 2.0 * mp["r"] * u                     # [mc, T]
+
+    row = 0
+    # ---- pair rows as one [n_pairs, T] block ----
+    pair_blk = None
+    if ocp.n_pairs:
+        I, J = pair_indices(nrob)
+        xi = jnp.concatenate([x[3 * i: 3 * i + 1] for i in I], axis=0)
+        yi = jnp.concatenate([x[3 * i + 1: 3 * i + 2] for i in I], axis=0)
+        xj = jnp.concatenate([x[3 * j: 3 * j + 1] for j in J], axis=0)
+        yj = jnp.concatenate([x[3 * j + 1: 3 * j + 2] for j in J], axis=0)
+        dx, dy = xi - xj, yi - yj
+        c_blk = dx * dx + dy * dy - prm[0, P.dmin2]
+        act = jnp.maximum(0.0, lam_k[row: row + ocp.n_pairs] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        gx, gy = 2.0 * dx, 2.0 * dy
+        gxa, gya = gx * act, gy * act              # lx contributions
+        wxx, wyy, wxy = w * gx * gx, w * gy * gy, w * gx * gy
+        nwxx, nwyy, nwxy = -wxx, -wyy, -wxy
+        pair_blk = (I, J, gxa, gya, wxx, wyy, wxy, nwxx, nwyy, nwxy)
+        row += ocp.n_pairs
+
+    # ---- obstacle rows as one [m*n_obs, T] block ----
+    obs_blk = None
+    if ocp.n_obs:
+        px = jnp.concatenate([x[3 * i: 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1: 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_obs)], axis=0)
+        dxo, dyo = px - mp["obs_x"], py - mp["obs_y"]
+        dist = jnp.sqrt(dxo * dxo + dyo * dyo + 1e-12)
+        c_blk = dist - mp["obs_k"]
+        cnt = nrob * ocp.n_obs
+        act = jnp.maximum(0.0, lam_k[row: row + cnt] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        ux, uy = dxo / dist, dyo / dist
+        uxa, uya = ux * act, uy * act
+        wxx, wyy, wxy = w * ux * ux, w * uy * uy, w * ux * uy
+        obs_blk = (uxa, uya, wxx, wyy, wxy)
+        row += cnt
+
+    # ---- moving-obstacle rows as one [m*n_mov, T] block ----
+    mov_blk = None
+    if ocp.n_mov:
+        px = jnp.concatenate([x[3 * i: 3 * i + 1]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        py = jnp.concatenate([x[3 * i + 1: 3 * i + 2]
+                              for i in range(nrob)
+                              for _ in range(ocp.n_mov)], axis=0)
+        mx = jnp.concatenate([mov_k[2 * o: 2 * o + 1]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        my = jnp.concatenate([mov_k[2 * o + 1: 2 * o + 2]
+                              for _ in range(nrob)
+                              for o in range(ocp.n_mov)], axis=0)
+        dxm, dym = px - mx, py - my
+        c_blk = dxm * dxm + dym * dym - prm[0, P.dmin2]
+        cnt = nrob * ocp.n_mov
+        act = jnp.maximum(0.0, lam_k[row: row + cnt] - mu * c_blk)
+        act = jnp.where(gate > 0.0, act, jnp.zeros_like(act))
+        w = mu * (act > 0.0).astype(act.dtype)
+        gx, gy = 2.0 * dxm, 2.0 * dym
+        mov_blk = (gx * act, gy * act, w * gx * gx, w * gy * gy, w * gx * gy)
+        row += cnt
+
+    # ---- u-box rows as [mc, T] blocks ----
+    a_lo_u = jnp.maximum(0.0, lam_k[row: row + mc] - mu * (u - mp["u_lo"]))
+    a_hi_u = jnp.maximum(0.0, lam_k[row + mc: row + 2 * mc]
+                         - mu * (mp["u_hi"] - u))
+    lu_blk = lu_blk - a_lo_u + a_hi_u
+    du_blk = mu * ((a_lo_u > 0.0).astype(mu.dtype)
+                   + (a_hi_u > 0.0).astype(mu.dtype))   # [mc, T]
+    row += 2 * mc
+
+    # ---- x-box rows as [n, T] blocks ----
+    a_lo_x = jnp.maximum(0.0, lam_k[row: row + n] - mu * (x - mp["x_lo"]))
+    a_hi_x = jnp.maximum(0.0, lam_k[row + n: row + 2 * n]
+                         - mu * (mp["x_hi"] - x))
+    a_lo_x = jnp.where(gate > 0.0, a_lo_x, jnp.zeros_like(a_lo_x))
+    a_hi_x = jnp.where(gate > 0.0, a_hi_x, jnp.zeros_like(a_hi_x))
+    dxd_blk = mu * ((a_lo_x > 0.0).astype(mu.dtype)
+                    + (a_hi_x > 0.0).astype(mu.dtype))  # [n, T]
+
+    # ---- assemble lx rows: block part + pair/obs/mov scatters ----
+    lx_rows = [lx_blk[i: i + 1] - a_lo_x[i: i + 1] + a_hi_x[i: i + 1]
+               for i in range(n)]
+    if pair_blk is not None:
+        (I, J, gxa, gya, *_rest) = pair_blk
+        for p, (i, j) in enumerate(zip(I, J)):
+            lx_rows[3 * i] = lx_rows[3 * i] - gxa[p: p + 1]
+            lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya[p: p + 1]
+            lx_rows[3 * j] = lx_rows[3 * j] + gxa[p: p + 1]
+            lx_rows[3 * j + 1] = lx_rows[3 * j + 1] + gya[p: p + 1]
+    if obs_blk is not None:
+        uxa, uya = obs_blk[0], obs_blk[1]
+        for i in range(nrob):
+            for o in range(ocp.n_obs):
+                q = i * ocp.n_obs + o
+                lx_rows[3 * i] = lx_rows[3 * i] - uxa[q: q + 1]
+                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - uya[q: q + 1]
+    if mov_blk is not None:
+        gxa_m, gya_m = mov_blk[0], mov_blk[1]
+        for i in range(nrob):
+            for o in range(ocp.n_mov):
+                q = i * ocp.n_mov + o
+                lx_rows[3 * i] = lx_rows[3 * i] - gxa_m[q: q + 1]
+                lx_rows[3 * i + 1] = lx_rows[3 * i + 1] - gya_m[q: q + 1]
+    lx = jnp.stack(lx_rows, axis=0)                # [n, 1, T]
+    lu = jnp.stack([lu_blk[i: i + 1] for i in range(mc)], axis=0)
+
+    # ---- dense lxx from block slices ----
+    He = {}
+    for i in range(n):
+        He[(i, i)] = 2.0 * mp["q"][i: i + 1] + dxd_blk[i: i + 1]
+
+    def add(a, b, v):
+        He[(a, b)] = He.get((a, b), zero) + v
+
+    if pair_blk is not None:
+        (I, J, _gxa, _gya, wxx, wyy, wxy, nwxx, nwyy, nwxy) = pair_blk
+        for p, (i, j) in enumerate(zip(I, J)):
+            xi_, yi_, xj_, yj_ = 3 * i, 3 * i + 1, 3 * j, 3 * j + 1
+            sxx = wxx[p: p + 1]
+            syy = wyy[p: p + 1]
+            sxy = wxy[p: p + 1]
+            add(xi_, xi_, sxx); add(yi_, yi_, syy)
+            add(xj_, xj_, sxx); add(yj_, yj_, syy)
+            add(xi_, yi_, sxy); add(yi_, xi_, sxy)
+            add(xj_, yj_, sxy); add(yj_, xj_, sxy)
+            add(xi_, xj_, nwxx[p: p + 1]); add(xj_, xi_, nwxx[p: p + 1])
+            add(yi_, yj_, nwyy[p: p + 1]); add(yj_, yi_, nwyy[p: p + 1])
+            add(xi_, yj_, nwxy[p: p + 1]); add(yj_, xi_, nwxy[p: p + 1])
+            add(yi_, xj_, nwxy[p: p + 1]); add(xj_, yi_, nwxy[p: p + 1])
+    if obs_blk is not None:
+        wxx, wyy, wxy = obs_blk[2], obs_blk[3], obs_blk[4]
+        for i in range(nrob):
+            for o in range(ocp.n_obs):
+                q = i * ocp.n_obs + o
+                xi_, yi_ = 3 * i, 3 * i + 1
+                add(xi_, xi_, wxx[q: q + 1])
+                add(yi_, yi_, wyy[q: q + 1])
+                add(xi_, yi_, wxy[q: q + 1])
+                add(yi_, xi_, wxy[q: q + 1])
+    if mov_blk is not None:
+        wxx, wyy, wxy = mov_blk[2], mov_blk[3], mov_blk[4]
+        for i in range(nrob):
+            for o in range(ocp.n_mov):
+                q = i * ocp.n_mov + o
+                xi_, yi_ = 3 * i, 3 * i + 1
+                add(xi_, xi_, wxx[q: q + 1])
+                add(yi_, yi_, wyy[q: q + 1])
+                add(xi_, yi_, wxy[q: q + 1])
+                add(yi_, xi_, wxy[q: q + 1])
+
+    def dense(entries, rows, cols):
+        out = []
+        for a in range(rows):
+            out.append(jnp.concatenate(
+                [entries.get((a, b), zero) for b in range(cols)], axis=0))
+        return jnp.stack(out, axis=0)
+
+    lxx = dense(He, n, n)
+
+    Ue = {}
+    for i in range(mc):
+        Ue[(i, i)] = 2.0 * mp["r"][i: i + 1] + du_blk[i: i + 1]
+    luu = dense(Ue, mc, mc)
+    return e1, e2, bc, bs, lx, lu, lxx, luu
+
+
+def _expansion_regs_mat(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu,
+                        mov_k=None, mp=None):
     """Stage expansion in registers, block-vectorized (round 3).
 
     The unicycle Jacobians are never materialized dense: A = I + E with

@@ -260,3 +260,25 @@ def test_deep_alpha_grid_escapes_box_stall():
     assert float(r_deep.cost) < float(r_old.cost) - 10.0
     assert float(r_deep.viol) < 1e-4
     assert bool(r_deep.converged)
+
+
+def test_ten_robot_scatter_expansion_path_matches_xla():
+    """m > _MAT_EXPANSION_MAX_M dispatches the megakernel to the round-3
+    per-entry scatter expansions (the matrix form loses ~6% at m=10 —
+    megasolve_pallas dispatch note). The large-m path must keep matching
+    the per-scenario XLA engine."""
+    from nmpc_tpu.ops.megasolve_pallas import _MAT_EXPANSION_MAX_M
+
+    base = get("ten_robot").make(N=8)
+    assert base.m > _MAT_EXPANSION_MAX_M
+    B = 2
+    x0s = base.x0[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (B, base.nx), base.x0.dtype)
+    ob = batch_ocp(base, x0s)
+    cfg = ALILQRConfig(n_outer=3, n_inner=6, tol_con=1e-3)
+    rb = jax.jit(functools.partial(solve_batched, cfg=cfg))(ob)
+    rv = jax.jit(jax.vmap(lambda x0: solve(
+        dataclasses.replace(base, x0=x0), cfg=cfg)))(ob.x0)
+    np.testing.assert_allclose(np.array(rb.cost), np.array(rv.cost), rtol=5e-4)
+    np.testing.assert_allclose(np.array(rb.viol), np.array(rv.viol), atol=1e-3)
+    np.testing.assert_allclose(np.array(rb.U), np.array(rv.U), atol=2e-2)
