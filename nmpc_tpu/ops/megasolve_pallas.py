@@ -122,8 +122,9 @@ def _expansion_regs_scatter(ocp: OCP, P, prm, k, x, u, xr, lam_k, mu,
     lx/lxx/luu assembly), kept as the LARGE-m engine: at m > 8 the matrix
     form of `_expansion_regs_mat` pays more in [m, m, T] padding and the
     m^2-slot multiplier gather than the per-entry assembly it removes
-    (measured, ten-robot N=20 B=4096: 13.7k solves/s here vs 12.9k on the
-    matrix form). Semantics identical to the matrix path.
+    (measured, ten-robot N=20 B=4096: 13.9k solves/s here vs 12.9k on the
+    matrix form; round-3 anchor 13.7k). Semantics identical to the
+    matrix path.
     """
     if mp is None:
         mp = _merit_params(ocp, P, prm, mu)
