@@ -95,7 +95,12 @@ int nmpc_bus_publish(void* b, int topic, const double* data, int count) {
   uint64_t s = t.seq.load(std::memory_order_relaxed);
   uint64_t k = s / 2 + 1;  // this publish's 1-based index
   int slot = (int)(k & 1);
-  t.seq.store(s + 1, std::memory_order_relaxed);  // odd: writing `slot`
+  // Odd store is a RELEASE so a reader that observes it gets a
+  // synchronizes-with edge to everything published before (under relaxed,
+  // visibility of the stable slot's data would rest on hardware behavior
+  // rather than the C++ memory model — advisor round 4). Costs nothing:
+  // on x86/ARM a release store compiles to the same plain/stlr store.
+  t.seq.store(s + 1, std::memory_order_release);  // odd: writing `slot`
   // Full fence: the slot writes below must not be reordered before the odd
   // store (a release store alone does not order SUBSEQUENT plain writes).
   std::atomic_thread_fence(std::memory_order_seq_cst);

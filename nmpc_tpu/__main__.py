@@ -113,8 +113,10 @@ def cmd_run(args) -> int:
             solver_cfg=solver_cfg, mpc=mpc, solve_fn=solve_fn))
     elif args.rt:
         # deployment recipe: one full-strength seed solve, then the cheap
-        # 3x10 adaptive-LS rt config each period with carried mu
-        # (driver.rt_closed_loop defaults — the pinned-safe recipe)
+        # 3x10 rt config each period with carried mu (driver.rt_closed_loop
+        # defaults — the pinned-safe recipe). This path drives the
+        # per-scenario XLA engine, whose line search is the alpha cascade;
+        # adaptive LS is a megakernel-path option (solve_fn=solve_one)
         mpc = MPCConfig(max_steps=args.steps, stop_tol=sc.stop_tol, escape=True)
         # rt mode drives the per-scenario AL-iLQR engine: the rt_cfg budget
         # is what defines the mode, so an engine override would bypass it

@@ -320,14 +320,27 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
                   jnp.clip(mpc.escape_gain * dth, -w_cap_t, w_cap_t))
     u_esc = jnp.stack([v, w], axis=-1)
 
-    if ocp.n_pairs:
-        # The parking law knows nothing about collision rows, so it may only
-        # drive a robot with clearance: a multi-robot standoff at the dmin
-        # ring (e.g. the myopic eight-robot N=5 config) must stay a standoff,
-        # not a push-through. 1.5x dmin keeps a full stopping margin.
+    if ocp.n_pairs or ocp.n_obs:
+        # The parking law knows nothing about collision/obstacle rows, so it
+        # may only drive a robot with clearance: a multi-robot standoff at
+        # the dmin ring (e.g. the myopic eight-robot N=5 config) must stay a
+        # standoff, not a push-through, and a single robot creep-stalled at
+        # an obstacle standoff must not latch a goal-bearing chase through
+        # the keep-out (advisor round 4: families H1-H3 are m=1 with
+        # n_pairs=0, so the gate must arm on n_obs alone). 1.5x the keep-out
+        # scale keeps a full stopping margin.
         pos2 = pose[:, :2]
-        diff = pos2[:, None] - pos2[None]  # [m, m, 2]: row i minus others
-        d2 = jnp.sum(diff**2, axis=-1) + jnp.eye(m, dtype=x.dtype) * 1e9
+        if ocp.n_pairs:
+            diff = pos2[:, None] - pos2[None]  # [m, m, 2]: row i minus others
+            d2 = jnp.sum(diff**2, axis=-1) + jnp.eye(m, dtype=x.dtype) * 1e9
+            gate = 1.5 * jnp.sqrt(ocp.dmin2)
+        else:
+            diff = jnp.zeros((m, 0, 2), x.dtype)
+            d2 = jnp.zeros((m, 0), x.dtype)
+            # no pair rows: the keep-out scale is the obstacle surface
+            # margin plus the robot's own radius of maneuvering slack
+            # (surface distances below already subtract r_obs + r_robot)
+            gate = 1.5 * (ocp.robot_radius + ocp.obs_margin)
         if ocp.n_obs:
             # Static obstacles join the clearance gate and the repulsion sum
             # as phantom neighbors at their centers, with the surface
@@ -341,7 +354,6 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
             diff = jnp.concatenate([diff, odiff], axis=1)
             d2 = jnp.concatenate([d2, od_eff**2], axis=1)
         mind_i = jnp.sqrt(jnp.min(d2, axis=1))
-        gate = 1.5 * jnp.sqrt(ocp.dmin2)
         clear = mind_i > gate
         esc = cand & clear  # sticky parking latch, pre-retreat semantics
         # Hard-stalled WITHOUT clearance: count consecutive blocked steps;

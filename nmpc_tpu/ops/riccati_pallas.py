@@ -11,9 +11,14 @@ stages for its batch tile, keeping V_x / V_xx in VMEM scratch — the whole
 backward pass is a single fused kernel instead of ~15 small XLA ops per
 stage.
 
-Sizing: the per-tile VMEM footprint is ~N * (2 n^2 + 2 n m + m^2) * 512 B;
-with n = 18, m = 12 that bounds N <= ~20 per invocation (the bench shape
-N = 10 uses ~10 MB). Longer horizons need stage-streaming DMA — future work.
+Sizing: the per-tile VMEM footprint is ~N * (2 n^2 + 2 n m + m^2) * 512 B
+(the bench shape N = 10 uses ~10 MB). Long horizons are ADMITTED in
+production via the structured sweep inside the megakernel
+(ops/megasolve_pallas.py), whose gate (`mega_fits`) is calibrated against
+measured compiler demand — e.g. five_robot runs at N = 70 and tb3_1 at
+N = 200 on v5e (docs/PARITY.md). Stage-streaming DMA was never needed: the
+fleet-throughput shapes (N <= 20) and the reference's longest horizons all
+fit VMEM as-is.
 """
 
 from __future__ import annotations

@@ -125,7 +125,9 @@ def test_al_update_lanes_matches_xla():
 
 def test_chol_rl_matches_left_looking():
     """The right-looking factorization + column-oriented substitutions
-    (round 4 megakernel solve phase) must agree with the left-looking
+    (kept as a measured ALTERNATIVE — a recorded round-4 negative result,
+    10% end-to-end regression, NOT used by the production kernels; see
+    ops/riccati_pallas.py) must agree with the left-looking
     `_chol`/`_chol_solve` pair on random SPD lane-major blocks — same
     math, different op schedule (rounding-level differences only)."""
     from nmpc_tpu.ops.riccati_pallas import (

@@ -270,3 +270,83 @@ def test_retreat_respects_static_obstacles():
     d_rob = np.hypot(pose[0] - 0.35, pose[1])
     assert d_obs > d_obs0 + 1e-3, (d_obs, d_obs0)   # fled the obstacle
     assert d_rob >= 0.3, (d_rob, d_rob0)            # robot keep-out held
+
+
+def test_obstacle_gate_arms_without_pairs():
+    """Advisor round 4 (medium): families H1-H3 are m=1 with static
+    obstacles — n_pairs=0 — so the round-3 clearance gate (which lived only
+    in the `if ocp.n_pairs:` branch) never armed there, and a robot
+    creep-stalled at an obstacle standoff could latch a goal-bearing chase
+    straight through the keep-out. The gate must arm on n_obs alone:
+
+    * creep-stalled INSIDE the obstacle gate: no parking latch — the MPC's
+      own (obstacle-aware) control passes through unchanged;
+    * hard-stalled inside the gate: the deadlock-breaking retreat engages
+      and backs AWAY from the obstacle (never toward it);
+    * stalled with clearance: the parking latch engages as before.
+    """
+    from nmpc_tpu.mpc.driver import (
+        _ESC_LATCH, MPCConfig, _escape_control, escape_state0)
+    from nmpc_tpu.ocp.problem import make_ocp
+
+    # obstacle dead ahead: surface distance 0.35 - 0.1 - 0.1 = 0.15, below
+    # the no-pairs gate 1.5 * (robot_radius + obs_margin) = 0.225
+    ocp = make_ocp(m=1, N=5, T=0.1, x0=np.array([0.0, 0.0, 0.0]),
+                   x_goal=np.array([2.0, 0.0, 0.0]),
+                   obstacles=np.array([[0.35, 0.0, 0.1]]),
+                   robot_radius=0.1, obs_margin=0.05)
+    assert ocp.n_pairs == 0 and ocp.n_obs == 1
+    mpc = MPCConfig(escape=True, escape_stall_steps=3)
+    x = jnp.asarray(ocp.x0)
+    goal = jnp.asarray([2.0, 0.0, 0.0], jnp.float32)
+    done = jnp.zeros((), bool)
+
+    # (a) creep stall (u below escape_u_tol but above the hard tol): the
+    # creep-parking debounce must NOT latch — gate closed -> u_mpc passes
+    u_creep = jnp.asarray([0.01, 0.0], jnp.float32)
+    esc = escape_state0(1)
+    for _ in range(mpc.escape_stall_steps + 2):
+        u, esc = _escape_control(ocp, mpc, x, goal, u_creep, esc, done)
+    assert int(esc[0]) < _ESC_LATCH, "parking latched through the obstacle gate"
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_creep), atol=1e-7)
+
+    # (b) hard stall: retreat engages and reverses away from the obstacle
+    # (robot faces it, so the repulsion bearing is behind -> v < 0)
+    esc = escape_state0(1)
+    for _ in range(mpc.escape_stall_steps + 1):
+        u, esc = _escape_control(ocp, mpc, x, goal, jnp.zeros(2), esc, done)
+    assert float(u[0]) < -1e-3, np.asarray(u)
+
+    # (c) same stall with the obstacle far away: parking latches and drives
+    # toward the (aligned) goal as before
+    ocp_clear = make_ocp(m=1, N=5, T=0.1, x0=np.array([0.0, 0.0, 0.0]),
+                         x_goal=np.array([2.0, 0.0, 0.0]),
+                         obstacles=np.array([[-3.0, 0.0, 0.1]]),
+                         robot_radius=0.1, obs_margin=0.05)
+    esc = escape_state0(1)
+    u, esc = _escape_control(ocp_clear, mpc, x, goal, jnp.zeros(2), esc, done)
+    assert int(esc[0]) >= _ESC_LATCH
+    assert float(u[0]) > 1e-3, np.asarray(u)
+
+
+def test_obstacle_waypoint_closed_loop_with_escape():
+    """m=1 closed-loop obstacle-clearance check WITH the escape law armed
+    (advisor round 4): the obstacle_scenario_1 tour must respect the
+    obstacle keep-out even when parking/retreat can fire — gen_cl_parity
+    only measures pairwise clearance (vacuous at m=1), so this assertion
+    is the coverage for the no-pairs obstacle gate in a real loop."""
+    sc = get("obstacle_scenario_1")
+    ocp = sc.make(N=25)
+    mpc = MPCConfig(max_steps=300, advance_tol=sc.advance_tol, escape=True)
+    r = jax.jit(
+        functools.partial(
+            closed_loop_waypoints,
+            waypoints=jnp.asarray(sc.waypoints[:2], jnp.float32),
+            solver_cfg=FAST,
+            mpc=mpc,
+        )
+    )(ocp)
+    X = np.array(r.X_hist)
+    d = np.hypot(X[:, 0] - 0.4, X[:, 1] - 1.1)
+    assert d.min() >= 0.15 + 0.15 - 1e-2   # r_rob + r_obs never violated
+    assert int(r.goal_idx_hist[-1]) >= 1

@@ -11,19 +11,43 @@ solve -> escape -> plant -> shift semantics, same escape controller, same
 exact-Euler plant — and comparing realized trajectories, arrival steps, and
 min clearance against the engine's jitted loop.
 
+Round-5 additions:
+  * the oracle loop CHECKPOINTS (docs/cl_parity_state/<name>.npz) — a
+    wall-budgeted run resumes exactly where it stopped, warm start and
+    escape state included, so slow configs (five_robot pays ~8 s of f64
+    SLSQP per MPC step) reach arrival across invocations;
+  * per-row persistence (docs/cl_parity_state/rows.json) — configs can be
+    (re)measured one at a time without clobbering the other rows of
+    docs/CL_PARITY.md;
+  * delay=1 timing (the reference's real deployment: control lands one
+    period late — centralized_six_robots_implementation.py:364-388 solves
+    while the robots keep moving) replicated in the oracle loop for the
+    six_robot_impl hardware row;
+  * the eight_robot published config (N=5 —
+    mpc_online_casadi_tb3_eight_multi_centralized_collision_free.py:148-152)
+    to resolve whether its myopic standoff is a formulation property (both
+    solvers stand off) or an engine gap.
+
 Caveat recorded in the output: symmetric configs (the antipodal circles)
 break symmetry on solver-noise-level differences, so realized trajectories
 can legitimately diverge (mirror/rotate) while both loops are correct; the
 robust comparisons are arrival, clearance, and final error. Trajectory
 deviation is reported for the asymmetric configs where it is meaningful.
 
-Writes docs/CL_PARITY.md. Runtime: tens of minutes (dominated by the
-five/six-robot oracle solves; each MPC step is one warm-started SLSQP).
+Usage:
+  python tools/gen_cl_parity.py                  # all configs
+  python tools/gen_cl_parity.py five_robot       # one config (merges rows)
+  python tools/gen_cl_parity.py five_robot --budget 18000   # override wall budget
+
+Writes docs/CL_PARITY.md. Runtime: minutes to hours depending on config
+(dominated by the five/six-robot oracle solves; each MPC step is one
+warm-started SLSQP).
 """
 
 from __future__ import annotations
 
 import functools
+import json
 import os
 import sys
 import time
@@ -53,9 +77,13 @@ from nmpc_tpu.solver.alilqr import ALILQRConfig  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tests"))
-from oracle import rollout_np, solve_oracle  # noqa: E402
+from oracle import solve_oracle  # noqa: E402
 
 ENGINE_CFG = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-4)
+
+STATE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "docs", "cl_parity_state")
+ROWS_PATH = os.path.join(STATE_DIR, "rows.json")
 
 
 def _plant_np(x, u, T):
@@ -80,12 +108,15 @@ def _min_pair_dist(x, m):
 
 
 def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
-                log_every=25, wall_budget_s=None):
+                log_every=25, wall_budget_s=None, ckpt=None, ckpt_every=20):
     """Python replica of the driver loop with solve_oracle as the solver.
 
-    wall_budget_s bounds the f64 oracle's total wall clock (the five-robot
-    config pays ~5-10 s of SLSQP per MPC step); a budgeted-out run returns
-    budget_hit=True with the trajectory measured so far."""
+    wall_budget_s bounds the f64 oracle's total wall clock per invocation;
+    `ckpt` names an npz checkpoint — a budgeted-out run saves its full loop
+    state (pose, warm start, escape latch, waypoint index, history) and the
+    next invocation resumes from it, so arrival is reachable across wall
+    budgets. Replicates MPCConfig.delay=1 semantics when set (the control
+    computed at step k is applied over period k+1, driver.closed_loop)."""
     m = ocp.m
     x = np.array(ocp.x0, float)
     goals = (np.array(waypoints, float) if waypoints is not None
@@ -101,11 +132,41 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
     X_hist = [x.copy()]
     min_d = _min_pair_dist(x, m)
     steps = 0
+    start_step = 0
+    wall_prev = 0.0
+    u_prev = np.zeros(ocp.nu, float)
     budget_hit = False
+    if ckpt and os.path.exists(ckpt):
+        z = np.load(ckpt)
+        x = z["x"]
+        X_hist = [row.copy() for row in z["X_hist"]]
+        U0 = z["U0"] if bool(z["has_U0"]) else None
+        esc = jnp.asarray(z["esc"])
+        gidx = int(z["gidx"])
+        start_step = steps = int(z["steps"])
+        min_d = float(z["min_d"])
+        wall_prev = float(z["wall_s"])
+        u_prev = z["u_prev"]
+        print(f"    resumed checkpoint at step {steps} "
+              f"({wall_prev:.0f}s accumulated)", flush=True)
+
     t0 = time.time()
-    for step in range(mpc.max_steps):
-        if wall_budget_s is not None and time.time() - t0 > wall_budget_s:
+
+    def _save_ckpt():
+        if not ckpt:
+            return
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+        np.savez(ckpt, x=x, X_hist=np.array(X_hist),
+                 U0=(U0 if U0 is not None else np.zeros((1,))),
+                 has_U0=U0 is not None, esc=np.asarray(esc), gidx=gidx,
+                 steps=steps, min_d=min_d,
+                 wall_s=wall_prev + time.time() - t0, u_prev=u_prev)
+
+    for step in range(start_step, mpc.max_steps):
+        if wall_budget_s is not None and \
+                wall_prev + time.time() - t0 > wall_budget_s:
             budget_hit = True
+            _save_ckpt()
             break
         goal = goals[min(gidx, G - 1)]
         err = float(np.linalg.norm(x - goal))
@@ -134,20 +195,32 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
                 jnp.asarray(goal, jnp.float32),
                 jnp.asarray(u0, jnp.float32), esc, done, tol=tol)
             u0 = np.array(u0_j, float)
-        x = _plant_np(x, u0, float(ocp.T))
+        if mpc.delay:
+            # one-period actuation delay, exactly driver.closed_loop's
+            # ordering: the plant advances under the PREVIOUS solve's
+            # control; this solve's u0 lands next period. (The oracle loop
+            # is reference-faithful: no delay compensation.)
+            u_apply, u_prev = u_prev.copy(), u0
+        else:
+            u_apply = u0
+        x = _plant_np(x, u_apply, float(ocp.T))
         X_hist.append(x.copy())
         min_d = min(min_d, _min_pair_dist(x, m))
         U0 = np.concatenate([U[1:], U[-1:]], axis=0)
         steps = step + 1
         if log_every and steps % log_every == 0:
             print(f"    oracle step {steps} err {err:.3f} cost {cost:.2f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"({wall_prev + time.time() - t0:.0f}s)", flush=True)
+        if ckpt and ckpt_every and steps % ckpt_every == 0:
+            _save_ckpt()
     goal = goals[min(gidx, G - 1)]
     reached = (gidx >= G) if waypoints is not None else (
         float(np.linalg.norm(x - goal)) < mpc.stop_tol)
+    if ckpt and not budget_hit:
+        _save_ckpt()  # finished runs keep their state for re-reporting
     return dict(X=np.array(X_hist), steps=steps, reached=bool(reached),
                 min_dist=min_d, final_err=float(np.linalg.norm(x - goal)),
-                wall_s=time.time() - t0, budget_hit=budget_hit)
+                wall_s=wall_prev + time.time() - t0, budget_hit=budget_hit)
 
 
 def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
@@ -166,42 +239,87 @@ def engine_loop(sc, ocp, mpc: MPCConfig, waypoints=None):
 
 
 CONFIGS = [
-    # name, max_steps, symmetric?, oracle maxiter, oracle wall budget [s]
-    ("single_robot", 2400, False, 200, None),
-    ("two_robot_swap", 1300, False, 200, None),
-    ("obstacle_scenario_1", 1400, False, 200, None),
-    ("six_robot_antipodal", 220, True, 150, None),
-    ("five_robot", 900, False, 150, 2400.0),
+    # name, max_steps, symmetric?, oracle maxiter, oracle wall budget [s],
+    # extra MPCConfig kwargs
+    ("single_robot", 2400, False, 200, None, {}),
+    ("two_robot_swap", 1300, False, 200, None, {}),
+    ("obstacle_scenario_1", 1400, False, 200, None, {}),
+    ("six_robot_antipodal", 220, True, 150, None, {}),
+    ("five_robot", 1600, False, 150, 3000.0, {}),
+    # the reference's actual hardware deployment: six real TB3s, reduced
+    # limits, dmin=0.4, with one control period of actuation delay (odometry
+    # latched at solve start, control lands late —
+    # centralized_six_robots_implementation.py:197-205,364-388). delay=1 is
+    # the reference-faithful uncompensated timing.
+    ("six_robot_impl", 220, True, 150, None, {"delay": 1}),
+    # the published eight-robot config (N=5, T=0.02: 0.1 s of lookahead).
+    # The engine's loop is collision-free but stands off myopically at the
+    # dmin ring (tests/test_scenarios_closed_loop.py); this row asks the f64
+    # oracle the same question. escape stays off, matching the pinned engine
+    # test (the standoff is the object under study).
+    ("eight_robot", 600, True, 150, 2400.0, {"escape": False}),
 ]
 
 
-def main(names=None):
-    rows = []
-    for name, max_steps, symmetric, maxiter, wall_budget in CONFIGS:
+def _load_rows():
+    if os.path.exists(ROWS_PATH):
+        with open(ROWS_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_rows(rows):
+    os.makedirs(STATE_DIR, exist_ok=True)
+    with open(ROWS_PATH, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+def main(names=None, budget_override=None):
+    rows = _load_rows()
+    for name, max_steps, symmetric, maxiter, wall_budget, mpc_kw in CONFIGS:
         if names and name not in names:
             continue
+        if budget_override is not None:
+            wall_budget = budget_override
         sc = get(name)
         ocp = sc.make()
         wps = (np.array(sc.waypoint_array, float)
                if getattr(sc, "waypoints", None) else None)
-        mpc = MPCConfig(max_steps=max_steps, stop_tol=sc.stop_tol,
-                        advance_tol=0.075, escape=True)
-        print(f"{name}: engine loop...", flush=True)
-        e = engine_loop(sc, ocp, mpc, wps)
-        print(f"  engine: steps {e['steps']} reached {e['reached']} "
-              f"min_dist {e['min_dist']:.3f}", flush=True)
+        kw = dict(max_steps=max_steps, stop_tol=sc.stop_tol,
+                  advance_tol=0.075, escape=True)
+        kw.update(mpc_kw)
+        mpc = MPCConfig(**kw)
+        prev = rows.get(name, {})
+        if prev.get("e_steps") is not None and prev.get("e_reached") is not None:
+            # engine side cached from an earlier invocation (rows.json);
+            # the engine loop is deterministic so re-running it only costs
+            # time. Delete the row from rows.json to force a re-measure.
+            e = dict(X=np.array(prev["e_X"]), steps=prev["e_steps"],
+                     reached=prev["e_reached"], min_dist=prev["e_md"],
+                     final_err=prev["e_err"])
+            print(f"{name}: engine loop cached ({e['steps']} steps)", flush=True)
+        else:
+            print(f"{name}: engine loop...", flush=True)
+            e = engine_loop(sc, ocp, mpc, wps)
+            print(f"  engine: steps {e['steps']} reached {e['reached']} "
+                  f"min_dist {e['min_dist']:.3f}", flush=True)
         print(f"{name}: oracle-in-the-loop...", flush=True)
         o = oracle_loop(sc, ocp, mpc, wps, maxiter=maxiter,
-                        wall_budget_s=wall_budget)
+                        wall_budget_s=wall_budget,
+                        ckpt=os.path.join(STATE_DIR, f"{name}.npz"))
         n = min(e["X"].shape[0], o["X"].shape[0])
         dev = float(np.abs(e["X"][:n, : 3 * ocp.m]
                            - o["X"][:n, : 3 * ocp.m]).max())
-        rows.append(dict(name=name, sym=symmetric, budget=o["budget_hit"],
-                         e_steps=e["steps"], o_steps=o["steps"],
-                         e_reached=e["reached"], o_reached=o["reached"],
-                         e_md=e["min_dist"], o_md=o["min_dist"],
-                         e_err=e["final_err"], o_err=o["final_err"],
-                         dev=dev, o_wall=o["wall_s"]))
+        rows[name] = dict(
+            name=name, sym=symmetric, budget=o["budget_hit"],
+            delay=int(mpc_kw.get("delay", 0)),
+            e_steps=e["steps"], o_steps=o["steps"],
+            e_reached=e["reached"], o_reached=o["reached"],
+            e_md=e["min_dist"], o_md=o["min_dist"],
+            e_err=e["final_err"], o_err=o["final_err"],
+            dev=dev, o_wall=o["wall_s"],
+            e_X=np.asarray(e["X"]).tolist())
+        _save_rows(rows)
         print(f"  oracle: steps {o['steps']} reached {o['reached']} "
               f"min_dist {o['min_dist']:.3f} wall {o['wall_s']:.0f}s "
               f"| traj dev {dev:.3e}", flush=True)
@@ -211,8 +329,10 @@ def main(names=None):
 
 
 def _write_doc(rows):
+    order = [c[0] for c in CONFIGS]
+    rlist = [rows[n] for n in order if n in rows]
     dmin_of = {r["name"]: float(np.sqrt(float(get(r["name"]).make().dmin2)))
-               for r in rows}
+               for r in rlist}
     out = [
         "# Closed-loop parity: f64 oracle as the in-loop solver\n\n",
         "Generated by `tools/gen_cl_parity.py` (see its docstring). Same\n",
@@ -221,25 +341,47 @@ def _write_doc(rows):
         "engine (AL-iLQR, f32, on this machine's default JAX backend) vs\n",
         "the condensed f64 SLSQP oracle with exact sensitivities\n",
         "(tests/oracle.py), warm-started across steps exactly like the\n",
-        "reference warm-starts IPOPT.\n\n",
+        "reference warm-starts IPOPT. The six_robot_impl row runs BOTH\n",
+        "loops at the reference's hardware timing (MPCConfig.delay=1:\n",
+        "control lands one period late, uncompensated). The eight_robot\n",
+        "row runs the published N=5 config with escape off: both solvers\n",
+        "driving the same myopic formulation (see footnotes).\n\n",
         "| config | arrived (eng/orc) | steps (eng/orc) | min clearance "
         "(eng/orc) | dmin | final err (eng/orc) | traj dev |\n",
         "|---|---|---|---|---|---|---|\n",
     ]
-    for r in rows:
+    for r in rlist:
         dev_s = (f"{r['dev']:.2e}" if not r["sym"]
                  else f"{r['dev']:.2e} (symmetric config: mirrored "
                       "crossings are equally optimal)")
         o_mark = ("budget" if r.get("budget") else str(r["o_reached"]))
+        nm = r["name"] + (" (delay=1)" if r.get("delay") else "")
         out.append(
-            f"| {r['name']} | {r['e_reached']}/{o_mark} "
+            f"| {nm} | {r['e_reached']}/{o_mark} "
             f"| {r['e_steps']}/{r['o_steps']} "
             f"| {r['e_md']:.3f}/{r['o_md']:.3f} | {dmin_of[r['name']]:.2f} "
             f"| {r['e_err']:.3f}/{r['o_err']:.3f} | {dev_s} |\n")
     out.append(
         "\nBoth loops must arrive, keep clearance above dmin, and land at\n"
         "comparable step counts; per-step trajectory deviation is the\n"
-        "strictest check and is only meaningful for asymmetric configs.\n")
+        "strictest check and is only meaningful for asymmetric configs.\n"
+        "\nFootnotes:\n"
+        "* single_robot: the f32 engine and f64 oracle loops stay within\n"
+        "  centimeters across the whole run, parking maneuver included.\n"
+        "* two_robot_swap: the diagonal swap has a passing-side symmetry —\n"
+        "  the loops choose different (equally optimal) sides, so pointwise\n"
+        "  trajectories diverge while every loop-level outcome agrees.\n"
+        "* obstacle_scenario_1: single robot + static obstacle; pairwise\n"
+        "  clearance is vacuous (the obstacle keep-out is enforced inside\n"
+        "  each solve); waypoint tours advance goals at slightly different\n"
+        "  steps, so same-index states compare different tour legs.\n"
+        "* six_robot_antipodal / six_robot_impl / eight_robot are fully\n"
+        "  symmetric formations: mirrored crossings are equally optimal, so\n"
+        "  the loop-level outcomes are the honest comparison.\n"
+        "* eight_robot (N=5): the published horizon gives 0.1 s of\n"
+        "  lookahead; whether both solvers stand off at the dmin ring (a\n"
+        "  formulation property) is exactly what this row measures — see\n"
+        "  arrived/final-err columns.\n")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "docs", "CL_PARITY.md")
     with open(path, "w") as f:
@@ -248,4 +390,10 @@ def _write_doc(rows):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or None)
+    args = [a for a in sys.argv[1:]]
+    budget = None
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i: i + 2]
+    main(args or None, budget_override=budget)

@@ -60,6 +60,11 @@ CFG = ALILQRConfig(n_outer=6, n_inner=12, tol_con=1e-4)
 # under noise/delay by tests/test_rt_mode.py::
 # test_rt_closed_loop_six_robot_noise_and_delay
 CFG_RT = ALILQRConfig(n_outer=3, n_inner=10, tol_con=1e-4)
+# NOTE: tol_con here is 1e-4 vs the driver default rt_cfg's 1e-3 — this
+# harness measures the noise-safe PUBLISHED recipe (tighter convergence on
+# the tightened OCP), a deliberately stricter configuration than the
+# driver's permissive default; the difference is recorded so the latency
+# table and the driver docs point at the same object (advisor round 4).
 # same recipe on the adaptive per-lane line search (the bench engine's LS;
 # VERDICT r3 weak #6 asked for the B=1 measurement)
 CFG_RT_AD = dataclasses.replace(CFG_RT, ls="adaptive")
