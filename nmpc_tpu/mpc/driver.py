@@ -256,7 +256,17 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     dist = jnp.hypot(ex, ey)
     bearing = jnp.arctan2(ey, ex)
     delta = _wrap_angle(bearing - pose[:, 2])
-    dth = _wrap_angle(gpos[:, 2] - pose[:, 2])
+    # RAW goal-heading error, deliberately unwrapped: the stop criterion is
+    # the reference-faithful raw theta difference, so the alignment branch
+    # must drive theta to the goal's RAW value — a wrapped dth sends a robot
+    # whose |raw error| > pi the "short way" to goal +- 2pi, a state the
+    # stop norm counts as a full turn of error (found by the round-5 fuzz:
+    # the law wound theta to goal + 2pi, unlatched on its wrapped err_i,
+    # and left the MPC a full unwinding turn). For every reference config
+    # raw == wrapped at the latch point (goal/start headings within pi);
+    # only adversarial geometries differ. The bearing error `delta` stays
+    # wrapped — a bearing is only defined mod 2pi.
+    dth = gpos[:, 2] - pose[:, 2]
     err_i = jnp.sqrt(dist * dist + dth * dth)
 
     tol = mpc.stop_tol if tol is None else tol
@@ -286,7 +296,21 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     stalled_hard = (u_inf < mpc.escape_block_u_tol) & (err_i > 0.7 * thresh)
     creep = (u_inf < mpc.escape_u_tol) & (err_i > 0.7 * thresh) & (~done)
     persist = creep & (cnt_creep + 1 >= K)
-    cnt_creep_new = jnp.where(creep, jnp.minimum(cnt_creep + 1, K), 0)
+    # Hysteresis on the creep debounce (round 5, found by the fuzz suite):
+    # under odometry/process noise a basin-stalled solver DITHERS around the
+    # creep threshold (measured on a random m=4 near-antipodal geometry:
+    # median u_inf 0.02-0.06, longest consecutive sub-tol run 5-14 steps vs
+    # the required K=10), so a hard reset-on-any-active-step kept the
+    # counter at zero forever and the loop hovered at the stay-put basin
+    # for 600+ steps. The counter now climbs below escape_u_tol, HOLDS in
+    # the dither band [tol, 2*tol), and resets only at clearly-active
+    # controls (>= 2*tol). Mid-crossing yields still reset: crossing
+    # controls sit well above 2*tol, and a false-positive latch is gated by
+    # clearance anyway (esc = cand & clear).
+    active = u_inf >= 2.0 * mpc.escape_u_tol
+    cnt_creep_new = jnp.where(
+        creep, jnp.minimum(cnt_creep + 1, K),
+        jnp.where(active, 0, cnt_creep))
     cand = (latch_prev | stalled_hard | persist) & (err_i > 0.35 * thresh) & (~done)
 
     v_hi = ocp.u_hi[0 :: 2][:m]
@@ -301,7 +325,6 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     # only aligns the goal heading; the sub-2cm position residual is far
     # inside every reference stop tolerance.
     far = dist > jnp.maximum(0.35 * thresh, 0.02)
-    aligned = jnp.abs(delta) < 1.0
     # Deadbeat caps: never move/rotate more than the remaining error in one
     # control period. Without the cap, w_hi*T (0.57 rad at the headline's
     # T=0.2) overshoots the alignment every step; near the +-pi boundary
@@ -309,14 +332,30 @@ def _escape_control(ocp: OCP, mpc: MPCConfig, x, goal, u0, esc_flags, done, tol=
     # measured on the noisy six-robot endgame: three robots settled aligned
     # but exactly 2*pi off, and the (reference-faithful, raw-angle) stop
     # criterion never fired.
+    #
+    # Axis alignment + signed drive (round 5, found by the fuzz suite): the
+    # old far branch chased the full bearing (up to pi of rotation) and only
+    # drove once |delta| < 1. Near the deadband boundary that circulates:
+    # the deadbeat drive can land past the goal, the bearing flips ~pi, the
+    # chase re-rotates the same way — measured winding theta by 2+ full
+    # turns on noisy random geometries (max |theta| 11.8). The classic
+    # polar form kills the cycle structurally: align the AXIS (the nearer
+    # of bearing / bearing+pi — never more than pi/2 of rotation, reverse
+    # gear covered by the signed cos below), and drive v = gain*dist*cos(
+    # delta) capped at dist*|cos(delta)|/T — one algebra line shows the
+    # post-step distance is <= dist*|sin(delta)|, i.e. monotonically
+    # non-increasing: no overshoot, no flip, no circulation.
     T_e = ocp.T
-    v_cap = jnp.minimum(v_hi, dist / T_e)
-    w_cap_d = jnp.minimum(w_hi, jnp.abs(delta) / T_e)
+    gear = jnp.where(jnp.abs(delta) <= 0.5 * jnp.pi, 1.0, -1.0)
+    delta_ax = _wrap_angle(delta - (1.0 - gear) * 0.5 * jnp.pi)
+    cosd = jnp.cos(delta)
+    v_cap = jnp.minimum(v_hi, dist * jnp.abs(cosd) / T_e)
+    w_cap_d = jnp.minimum(w_hi, jnp.abs(delta_ax) / T_e)
     w_cap_t = jnp.minimum(w_hi, jnp.abs(dth) / T_e)
-    v = jnp.where(far & aligned,
-                  jnp.clip(mpc.escape_gain * dist * jnp.cos(delta), -v_cap, v_cap),
+    v = jnp.where(far,
+                  jnp.clip(mpc.escape_gain * dist * cosd, -v_cap, v_cap),
                   0.0)
-    w = jnp.where(far, jnp.clip(mpc.escape_gain * delta, -w_cap_d, w_cap_d),
+    w = jnp.where(far, jnp.clip(mpc.escape_gain * delta_ax, -w_cap_d, w_cap_d),
                   jnp.clip(mpc.escape_gain * dth, -w_cap_t, w_cap_t))
     u_esc = jnp.stack([v, w], axis=-1)
 
@@ -504,7 +543,16 @@ def closed_loop(
 
 def rt_closed_loop(
     ocp: OCP,
-    full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12),
+    # seed solve starts the penalty at mu_init=100: the round-4 iteration-
+    # lever experiment measured -22% mean inner iterations on cold solves
+    # at intact conv/viol, flat at large batch (straggler-bound) — "pays
+    # only at B=1", which is exactly this path. Round-5 measurement on the
+    # headline rt chain (v5e, B=1): per-step p99 7.11 -> 4.52 ms and
+    # iters/step 21.9 -> 18.8 at unchanged realized clearance (0.326 vs
+    # 0.329, both above the true dmin) — the better-conditioned carried
+    # (lam, mu) from the stiffer seed is what the warm rt solves inherit.
+    full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12,
+                                          mu_init=100.0),
     # the pinned deployment recipe (tests/test_rt_mode.py, docs/LATENCY.md):
     # 3x10 carried-mu solves. This loop drives the per-scenario XLA engine,
     # whose line search is the alpha cascade (cfg.ls is consumed only by

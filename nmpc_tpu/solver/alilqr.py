@@ -105,6 +105,20 @@ class ALILQRConfig:
                               # goal-directed trajectory instead of rest
                               # (batched paths only; ignored for
                               # ray-augmented problems)
+    compact: bool = False     # megakernel path: between AL outer steps,
+                              # permute the batch so unconverged lanes pack
+                              # into dense 128-lane tiles (converged-only
+                              # tiles then exit the fused inner solve after
+                              # one no-op iteration). Attacks the lane-
+                              # divergence gap at outer-step granularity —
+                              # the solver is in XLA land there, so the
+                              # gather/scatter is plain jnp.take (VERDICT
+                              # r4 ask #7). Measured win depends on the
+                              # convergence profile: most lanes converge at
+                              # the same outer step on the bench shape, so
+                              # the win is the near-empty trailing outer
+                              # passes. Outputs are inverse-permuted;
+                              # results are element-wise identical.
     sweep: str = "seq"        # backward pass: "seq" = O(N) Riccati scan,
                               # "scan" = O(log N) associative-scan LQR
                               # (ops/assoc_lqr.py) for long horizons (the

@@ -284,22 +284,66 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
         return Xs, U, _vm(lambda o, x, u: P.masked_trajectory_constraints(o, x, u),
                           ocp_b, X_full, U)
 
+    x0_std = ocp_b.x0
+    xref_std = ocp_b.xref
+    if x0_std.shape[0] != Bt:  # pad the standard-layout problem data once
+        padn = Bt - x0_std.shape[0]
+        x0_std = jnp.concatenate([x0_std, jnp.repeat(x0_std[-1:], padn, 0)], 0)
+        xref_std = jnp.concatenate(
+            [xref_std, jnp.repeat(xref_std[-1:], padn, 0)], 0)
+    mov_std = None
+    if ocp_b.n_mov and ocp_b.mov_obs.ndim == 4:
+        mov_std = ocp_b.mov_obs.reshape(-1, ocp_b.N, 2 * ocp_b.n_mov)
+        if mov_std.shape[0] != Bt:
+            mov_std = jnp.concatenate(
+                [mov_std, jnp.repeat(mov_std[-1:], Bt - mov_std.shape[0], 0)], 0)
+
     def outer_cond(c):
-        _, _, _, _, it, _, _, done = c
+        _, _, _, _, it, _, _, done, _ = c
         return (it < cfg.n_outer) & (~jnp.all(done))
 
     def outer_body(c):
-        Xs_l, U_l, lam_l, mu, it, inner_tot, outer_vec, done = c
+        Xs_l, U_l, lam_l, mu, it, inner_tot, outer_vec, done, perm = c
+        x0_k, xref_k, mov_k = x0_l, xref_l, mov_l
+        if cfg.compact:
+            # Tile compaction (VERDICT r4 ask #7): pack unconverged lanes
+            # into dense leading tiles so trailing all-converged tiles
+            # exit the fused inner solve after one no-op iteration. The
+            # permutation composes across outer steps (`perm` maps current
+            # lane position -> original element); problem data is gathered
+            # from the padded standard layout each pass, outputs are
+            # inverse-permuted after the loop. lax.cond skips the whole
+            # shuffle while nothing has converged yet (the first 3-4 outer
+            # steps on the bench profile — the sort would be the identity).
+            def _shuffle(args):
+                Xs_l, U_l, lam_l, mu, done, inner_tot, outer_vec, perm = args
+                order = jnp.argsort(done)  # live lanes (False) first
+                perm = perm[order]
+                Xs_l, U_l, lam_l = (
+                    _to_lane(_from_lane(a, Bt)[order], tiles)
+                    for a in (Xs_l, U_l, lam_l))
+                mu, done, inner_tot, outer_vec = (
+                    a[order] for a in (mu, done, inner_tot, outer_vec))
+                return Xs_l, U_l, lam_l, mu, done, inner_tot, outer_vec, perm
+
+            (Xs_l, U_l, lam_l, mu, done, inner_tot, outer_vec,
+             perm) = jax.lax.cond(
+                jnp.any(done), _shuffle, lambda a: a,
+                (Xs_l, U_l, lam_l, mu, done, inner_tot, outer_vec, perm))
+            x0_k = _to_lane(x0_std[perm][:, None], tiles)
+            xref_k = _to_lane(xref_std[perm], tiles)
+            if mov_std is not None:
+                mov_k = _to_lane(mov_std[perm], tiles)
         outer_vec = outer_vec + (~done).astype(jnp.int32)
         mu_l = _to_lane(mu[:, None], tiles)
         Xs_l, U_l, _, iters_l = inner_solve_fused(
-            ocp_b, x0_l, xref_l, lam_l, mu_l, U_l, cfg, mov_l
+            ocp_b, x0_k, xref_k, lam_l, mu_l, U_l, cfg, mov_k
         )
         # per-element inner-iteration counts (the megakernel counts per lane;
         # already-converged elements re-run a no-op pass — don't count it)
         iters = jnp.where(done, 0, lane_vec(iters_l).astype(jnp.int32))
         lam_new_l, viol_l = al_update_lanes(
-            ocp_b, Xs_l, U_l, lam_l, mu_l, cfg.lam_max, mov_l
+            ocp_b, Xs_l, U_l, lam_l, mu_l, cfg.lam_max, mov_k
         )
         viol = lane_vec(viol_l)
         newly = viol < cfg.tol_con
@@ -307,18 +351,28 @@ def _solve_mega(ocp_b: OCP, U, lam, mu, cfg: ALILQRConfig, B: int, Bt: int) -> S
         lam_l = jnp.where(done_l > 0.5, lam_l, lam_new_l)
         mu = jnp.where(done | newly, mu, jnp.minimum(mu * cfg.mu_factor, cfg.mu_max))
         done = done | newly
-        return (Xs_l, U_l, lam_l, mu, it + 1, inner_tot + iters, outer_vec, done)
+        return (Xs_l, U_l, lam_l, mu, it + 1, inner_tot + iters, outer_vec,
+                done, perm)
 
     zero = jnp.zeros((), jnp.int32)
     zero_vec = jnp.zeros((Bt,), jnp.int32)
-    Xs_l, U_l, lam_l, mu, _, inner_tot, outer_vec, done = jax.lax.while_loop(
+    Xs_l, U_l, lam_l, mu, _, inner_tot, outer_vec, done, perm = jax.lax.while_loop(
         outer_cond, outer_body,
-        (Xs_l, U_l, lam_l, mu, zero, zero_vec, zero_vec, jnp.zeros((Bt,), bool)),
+        (Xs_l, U_l, lam_l, mu, zero, zero_vec, zero_vec,
+         jnp.zeros((Bt,), bool), jnp.arange(Bt, dtype=jnp.int32)),
     )
 
     lam = _from_lane(lam_l, Bt)
     Xs = _from_lane(Xs_l, Bt)
     U = _from_lane(U_l, Bt)
+    if cfg.compact:
+        # undo the accumulated lane permutation so outputs line up with the
+        # caller's element order (and with ocp_b's per-element leaves, which
+        # _finalize consumes below)
+        inv = jnp.argsort(perm)
+        lam, Xs, U = lam[inv], Xs[inv], U[inv]
+        mu, inner_tot, outer_vec, done = (
+            a[inv] for a in (mu, inner_tot, outer_vec, done))
     # terminal state for the full trajectory output
     xN = jax.vmap(lambda o, x, u: P.step_dynamics(o, x, u),
                   in_axes=(None, 0, 0))(
