@@ -543,16 +543,17 @@ def closed_loop(
 
 def rt_closed_loop(
     ocp: OCP,
-    # seed solve starts the penalty at mu_init=100: the round-4 iteration-
-    # lever experiment measured -22% mean inner iterations on cold solves
-    # at intact conv/viol, flat at large batch (straggler-bound) — "pays
-    # only at B=1", which is exactly this path. Round-5 measurement on the
-    # headline rt chain (v5e, B=1): per-step p99 7.11 -> 4.52 ms and
-    # iters/step 21.9 -> 18.8 at unchanged realized clearance (0.326 vs
-    # 0.329, both above the true dmin) — the better-conditioned carried
-    # (lam, mu) from the stiffer seed is what the warm rt solves inherit.
-    full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12,
-                                          mu_init=100.0),
+    # The mu_init=100 seed lever (round-4/5 measurements) is deliberately
+    # NOT the default. Measured both ways on v5e (round 5): seeding the rt
+    # chain at mu_init=100 cuts the headline six-robot per-step p99 7.11 ->
+    # 4.52 ms and iters/step -14% at unchanged realized clearance — but the
+    # stiffer seed's carried duals STALL ARRIVAL on harder maneuvers
+    # (six_robot_impl hexagon: reached 72 steps at mu10 vs hung at err 1.36
+    # by 120 steps at mu100; eight-robot N=25 swap: 227 steps vs hung at
+    # 0.96 by 250). The lever is config-dependent: cash it per deployment
+    # by passing full_cfg=ALILQRConfig(n_outer=6, n_inner=12, mu_init=100)
+    # after validating arrival on the target scenario.
+    full_cfg: ALILQRConfig = ALILQRConfig(n_outer=6, n_inner=12),
     # the pinned deployment recipe (tests/test_rt_mode.py, docs/LATENCY.md):
     # 3x10 carried-mu solves. This loop drives the per-scenario XLA engine,
     # whose line search is the alpha cascade (cfg.ls is consumed only by

@@ -362,7 +362,8 @@ def _write_doc(rows):
             f"| {r['e_md']:.3f}/{r['o_md']:.3f} | {dmin_of[r['name']]:.2f} "
             f"| {r['e_err']:.3f}/{r['o_err']:.3f} | {dev_s} |\n")
     out.append(
-        "\nBoth loops must arrive, keep clearance above dmin, and land at\n"
+        "\nBoth loops must agree on the loop-level outcome — arrival (or,\n"
+        "for eight_robot, the standoff), realized clearance vs dmin, and\n"
         "comparable step counts; per-step trajectory deviation is the\n"
         "strictest check and is only meaningful for asymmetric configs.\n"
         "\nFootnotes:\n"
@@ -380,8 +381,14 @@ def _write_doc(rows):
         "  the loop-level outcomes are the honest comparison.\n"
         "* eight_robot (N=5): the published horizon gives 0.1 s of\n"
         "  lookahead; whether both solvers stand off at the dmin ring (a\n"
-        "  formulation property) is exactly what this row measures — see\n"
-        "  arrived/final-err columns.\n")
+        "  formulation property) is exactly what this row measures.\n"
+        "  RESOLVED (round 5): the f64 oracle stands off exactly like the\n"
+        "  engine — both loops plateau at the same final error (3.665 to\n"
+        "  three decimals) with clearance pinned at exactly dmin, tracking\n"
+        "  each other to 1.4e-1 over 600 steps. The myopic standoff is a\n"
+        "  property of the published N=5 formulation, not an engine gap\n"
+        "  (the same swap completes at N=25 —\n"
+        "  tests/test_scenarios_closed_loop.py::test_eight_robot_closed_loop_full_swap).\n")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "docs", "CL_PARITY.md")
     with open(path, "w") as f:
