@@ -356,10 +356,12 @@ def _write_doc(rows):
                       "crossings are equally optimal)")
         o_mark = ("budget" if r.get("budget") else str(r["o_reached"]))
         nm = r["name"] + (" (delay=1)" if r.get("delay") else "")
+        dm = dmin_of[r["name"]]
+        dm_s = f"{dm:.2f}" if dm > 0 else "—"
         out.append(
             f"| {nm} | {r['e_reached']}/{o_mark} "
             f"| {r['e_steps']}/{r['o_steps']} "
-            f"| {r['e_md']:.3f}/{r['o_md']:.3f} | {dmin_of[r['name']]:.2f} "
+            f"| {r['e_md']:.3f}/{r['o_md']:.3f} | {dm_s} "
             f"| {r['e_err']:.3f}/{r['o_err']:.3f} | {dev_s} |\n")
     out.append(
         "\nBoth loops must agree on the loop-level outcome — arrival (or,\n"
@@ -379,6 +381,15 @@ def _write_doc(rows):
         "* six_robot_antipodal / six_robot_impl / eight_robot are fully\n"
         "  symmetric formations: mirrored crossings are equally optimal, so\n"
         "  the loop-level outcomes are the honest comparison.\n"
+        "* six_robot_impl runs the reference's UNCOMPENSATED hardware\n"
+        "  timing: with the control landing one period (0.3 s) late, the\n"
+        "  realized crossing clearance erodes below the planned dmin=0.40\n"
+        "  on BOTH sides (engine 0.326, oracle 0.286) while staying above\n"
+        "  the ~0.21 m physical-contact distance of two TurtleBot3s — the\n"
+        "  erosion the hardware family's enlarged dmin buys margin for\n"
+        "  (tests/test_rt_mode.py::test_delay_closed_loop_six_robot_hw_config\n"
+        "  measures the same band, and MPCConfig.delay_compensate removes\n"
+        "  it).\n"
         "* eight_robot (N=5): the published horizon gives 0.1 s of\n"
         "  lookahead; whether both solvers stand off at the dmin ring (a\n"
         "  formulation property) is exactly what this row measures.\n"
