@@ -82,3 +82,79 @@ def test_cl_parity_eight_robot_standoff_is_formulation_property():
     # 10% of each other after identical step counts)
     assert abs(e["final_err"] - o["final_err"]) <= 0.1 * o["final_err"], (
         e["final_err"], o["final_err"])
+
+
+def test_oracle_loop_replica_matches_driver_step_ordering():
+    """The CL-parity claim rests on tools/gen_cl_parity.oracle_loop being a
+    STEP-EXACT replica of mpc/driver.closed_loop (same latch -> solve ->
+    escape -> delay -> plant -> shift ordering). This pins it directly:
+    both loops driven by the same deterministic state-feedback 'solver'
+    (injected via solve_fn on both sides) must realize the same trajectory
+    — for the default timing AND the delay=1 hardware timing, where any
+    ordering drift (e.g. applying the fresh control instead of the
+    in-flight one) shows up immediately at O(|u|*T) per step. Tolerance
+    covers only f32-vs-f64 plant rounding."""
+    import dataclasses as dc
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from gen_cl_parity import oracle_loop
+    from nmpc_tpu.mpc.driver import closed_loop
+    from nmpc_tpu.ocp import problem as P
+    from nmpc_tpu.solver.alilqr import SolveResult
+
+    sc = get("two_robot_swap")
+    ocp = sc.make(N=8)
+    goal = np.asarray(ocp.xref[-1], float)
+    N, nu, m = ocp.N, ocp.nu, ocp.m
+    decay = 0.95 ** np.arange(N)[:, None]
+
+    def law_np(x):
+        pose = np.asarray(x, float)[: 3 * m].reshape(m, 3)
+        g = goal[: 3 * m].reshape(m, 3)
+        ex, ey = g[:, 0] - pose[:, 0], g[:, 1] - pose[:, 1]
+        delta = np.arctan2(ey, ex) - pose[:, 2]
+        delta = np.arctan2(np.sin(delta), np.cos(delta))
+        v = 0.12 * np.tanh(np.hypot(ex, ey))
+        w = 0.5 * np.tanh(delta)
+        return np.stack([v, w], -1).reshape(nu)[None] * decay  # [N, nu]
+
+    def solve_fn_jax(ocp_k, warm):
+        # jnp version of the same law (traced on x0)
+        pose = ocp_k.x0[: 3 * m].reshape(m, 3)
+        g = jnp.asarray(goal, jnp.float32)[: 3 * m].reshape(m, 3)
+        ex, ey = g[:, 0] - pose[:, 0], g[:, 1] - pose[:, 1]
+        delta = jnp.arctan2(ey, ex) - pose[:, 2]
+        delta = jnp.arctan2(jnp.sin(delta), jnp.cos(delta))
+        v = 0.12 * jnp.tanh(jnp.hypot(ex, ey))
+        w = 0.5 * jnp.tanh(delta)
+        U = (jnp.stack([v, w], -1).reshape(nu)[None]
+             * jnp.asarray(decay, jnp.float32))
+        X = P.rollout(ocp_k, U)
+        z = jnp.zeros((), jnp.float32)
+        return SolveResult(X=X, U=U, lam=warm.lam, mu=warm.mu, cost=z,
+                           viol=z, inner_iters=jnp.zeros((), jnp.int32),
+                           outer_iters=jnp.zeros((), jnp.int32),
+                           converged=jnp.ones((), bool))
+
+    for delay in (0, 1):
+        mpc = MPCConfig(max_steps=60, stop_tol=1e-3, escape=False,
+                        delay=delay)
+        r = jax.jit(functools.partial(
+            closed_loop, mpc=mpc, solve_fn=solve_fn_jax))(ocp)
+        o = oracle_loop(sc, ocp, mpc, log_every=0,
+                        solve_fn=lambda x, g, U0: (law_np(x), 0.0))
+        Xe = np.asarray(r.X_hist, float)[:61]
+        Xo = o["X"][:61]
+        n = min(len(Xe), len(Xo))
+        dev = np.abs(Xe[:n] - Xo[:n]).max()
+        assert dev < 2e-3, (delay, dev)
+        # the two timings must themselves DIFFER (the pin has teeth: one
+        # step of a smooth law's delay measures ~9e-3 here, > 2x the
+        # replica tolerance above)
+        if delay == 0:
+            X0_ref = Xe.copy()
+        else:
+            assert np.abs(X0_ref[:n] - Xe[:n]).max() > 4e-3

@@ -108,7 +108,8 @@ def _min_pair_dist(x, m):
 
 
 def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
-                log_every=25, wall_budget_s=None, ckpt=None, ckpt_every=20):
+                log_every=25, wall_budget_s=None, ckpt=None, ckpt_every=20,
+                solve_fn=None):
     """Python replica of the driver loop with solve_oracle as the solver.
 
     wall_budget_s bounds the f64 oracle's total wall clock per invocation;
@@ -116,7 +117,10 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
     state (pose, warm start, escape latch, waypoint index, history) and the
     next invocation resumes from it, so arrival is reachable across wall
     budgets. Replicates MPCConfig.delay=1 semantics when set (the control
-    computed at step k is applied over period k+1, driver.closed_loop)."""
+    computed at step k is applied over period k+1, driver.closed_loop).
+    solve_fn(x, goal, U0) -> (U [N, nu], cost) overrides the solver — used
+    by tests/test_cl_parity.py to pin the replica's step ordering exactly
+    against the jitted driver with a shared deterministic control law."""
     m = ocp.m
     x = np.array(ocp.x0, float)
     goals = (np.array(waypoints, float) if waypoints is not None
@@ -180,13 +184,16 @@ def oracle_loop(sc, ocp, mpc: MPCConfig, waypoints=None, maxiter=200,
                 err = float(np.linalg.norm(x - goal))
         elif err < mpc.stop_tol:
             break
-        U, _X, cost = solve_oracle(
-            x, goal, ocp.N, float(ocp.T), dmin=dmin,
-            v_max=float(ocp.u_hi[0]), omega_max=float(ocp.u_hi[1]),
-            U0=U0, maxiter=maxiter, obstacles=obstacles,
-            robot_radius=float(ocp.robot_radius),
-            obs_margin=float(ocp.obs_margin),
-        )
+        if solve_fn is not None:
+            U, cost = solve_fn(x, goal, U0)
+        else:
+            U, _X, cost = solve_oracle(
+                x, goal, ocp.N, float(ocp.T), dmin=dmin,
+                v_max=float(ocp.u_hi[0]), omega_max=float(ocp.u_hi[1]),
+                U0=U0, maxiter=maxiter, obstacles=obstacles,
+                robot_radius=float(ocp.robot_radius),
+                obs_margin=float(ocp.obs_margin),
+            )
         u0 = U[0].copy()
         if mpc.escape:
             tol = mpc.advance_tol if waypoints is not None else mpc.stop_tol
