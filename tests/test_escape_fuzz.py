@@ -126,7 +126,9 @@ def _check_invariants(r, m: int, seeds, noisy: bool = False):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("m,seeds", [(2, (0, 1, 2, 3)),
+                                     (3, (40, 41, 42)),
                                      (4, (10, 11, 12)),
+                                     (5, (50, 51, 52)),
                                      (6, (20, 21, 22))])
 def test_escape_law_fuzz_deterministic(m, seeds):
     """Randomized near-antipodal geometries, deterministic plant: arrival +
