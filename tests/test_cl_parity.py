@@ -158,3 +158,79 @@ def test_oracle_loop_replica_matches_driver_step_ordering():
             X0_ref = Xe.copy()
         else:
             assert np.abs(X0_ref[:n] - Xe[:n]).max() > 4e-3
+
+
+def test_lidar_oracle_loop_replica_matches_driver():
+    """tools/gen_cl_parity.lidar_oracle_loop must be a STEP-EXACT replica
+    of mpc/lidar.closed_loop_lidar (advance goal -> raycast -> freeze pObs
+    -> solve -> exact-Euler plant -> shift). Both loops are driven by the
+    same deterministic SCAN-DEPENDENT law injected via solve_fn, so any
+    ordering drift — advancing the goal after sensing, sensing from the
+    post-step pose, skipping the frozen-pObs step — shows up at O(|u| T)
+    per step. Tolerance covers only f32-vs-f64 plant rounding."""
+    import dataclasses as dc
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from gen_cl_parity import LIDAR_OBSTACLES, lidar_oracle_loop
+    from nmpc_tpu.mpc.lidar import closed_loop_lidar
+    from nmpc_tpu.ocp import problem as P
+    from nmpc_tpu.solver.alilqr import SolveResult
+
+    N = 8
+    # waypoints close enough that the tour's goal-advance fires inside the
+    # pinned window (exercises the advance ordering, not just the cruise)
+    # goal thetas aligned with the approach bearing so the 3-norm advance
+    # test (err < 0.1 incl theta) actually fires within the window
+    th_g = float(np.arctan2(0.1, 0.2))
+    sc = dc.replace(get("lidar_v4"),
+                    waypoints=((0.2, 0.1, th_g), (0.4, 0.2, th_g)))
+    ocp = sc.make(N=N)
+    decay = (0.9 ** np.arange(N)[:, None]).astype(np.float32)
+
+    def law(pose3, goal3, scan, xp):
+        ex, ey = goal3[0] - pose3[0], goal3[1] - pose3[1]
+        delta = xp.arctan2(ey, ex) - pose3[2]
+        delta = xp.arctan2(xp.sin(delta), xp.cos(delta))
+        # scan-dependent gain in [0.5, 1]: the law changes with the
+        # raycast, so the sensing order is pinned too
+        gain = (xp.float32(0.5)
+                + xp.float32(0.5) * scan.min() / xp.float32(3.5))
+        v = xp.hypot(ex, ey) * gain
+        w = xp.float32(0.6) * xp.tanh(delta)
+        return v, w
+
+    def solve_fn_jax(ocp_k, warm):
+        pose, scan = ocp_k.x0[:3], ocp_k.x0[3:]
+        goal = ocp_k.xref[-1][:3]
+        v, w = law(pose, goal, scan, jnp)
+        U = jnp.stack([v, w])[None] * jnp.asarray(decay)
+        X = P.rollout(ocp_k, U)
+        z = jnp.zeros((), jnp.float32)
+        return SolveResult(X=X, U=U, lam=warm.lam, mu=warm.mu, cost=z,
+                           viol=z, inner_iters=jnp.zeros((), jnp.int32),
+                           outer_iters=jnp.zeros((), jnp.int32),
+                           converged=jnp.ones((), bool))
+
+    def solve_fn_np(pose, goal, scan, p_obs, U0):
+        v, w = law(pose.astype(np.float32), np.asarray(goal, np.float32),
+                   scan.astype(np.float32), np)
+        return np.stack([v, w]).astype(np.float32)[None] * decay
+
+    wps = jnp.asarray(sc.waypoints, jnp.float32)
+    X, U, clr, gidx, done = jax.jit(functools.partial(
+        closed_loop_lidar, sim_obstacles=jnp.asarray(LIDAR_OBSTACLES,
+                                                     jnp.float32),
+        waypoints=wps, solve_fn=solve_fn_jax, max_steps=60))(ocp)
+    o = lidar_oracle_loop(sc, max_steps=60, log_every=0,
+                          solve_fn=solve_fn_np)
+    Xe = np.asarray(X, float)
+    Xo = o["X"]
+    n = min(len(Xe), len(Xo))
+    assert n > 10
+    dev = np.abs(Xe[:n] - Xo[:n]).max()
+    assert dev < 2e-3, dev
+    # the pinned window must actually contain a goal advance (teeth)
+    assert int(np.asarray(gidx)[-1]) >= 1
