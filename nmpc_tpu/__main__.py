@@ -81,6 +81,57 @@ def cmd_run(args) -> int:
                      min_dist_hist=np.asarray(mind))
             print(f"saved         {args.save}")
         return 0 if bool(done) else 1
+    if sc.num_rays:
+        # family I: the generic drivers cannot run the augmented-state
+        # model (the plant is the 3-state pose; the ray tail is re-seeded
+        # from a fresh scan each period and pObs re-frozen —
+        # obs_avoid_static_first_scenario_v4.py:109-113,296-297), so route
+        # through the LiDAR loop against the standard ground-truth world of
+        # the closed-loop tests (tests/test_gn_lidar.py): one circle on the
+        # straight first leg, radius per version's tested world.
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nmpc_tpu.mpc.lidar import closed_loop_lidar
+
+        radius = {"lidar_v2": 0.15, "lidar_v3": 0.2}.get(args.scenario, 0.1)
+        obstacles = jnp.asarray([[0.5, 0.25, radius]], jnp.float32)
+        if sc.Nc is not None:
+            # v4 semantics: condensed GN with Nc move blocking
+            from nmpc_tpu.solver import gn
+
+            lid_kw = dict(cfg=gn.GNConfig(Nc=sc.Nc, n_gn=10, n_outer=6,
+                                          tol_con=1e-3))
+        else:
+            # v2/v3 semantics: full control horizon on the AL-iLQR engine,
+            # with the test-validated ray-bound discretization margin (10
+            # sparse rays strike obliquely, so the planned ray distance
+            # overstates perpendicular clearance — see
+            # test_lidar_v3_closed_loop_ilqr_engine)
+            from nmpc_tpu.solver.alilqr import solve as ilqr_solve
+
+            ocp = sc.make(ray_lo=0.25 if args.scenario == "lidar_v3" else 0.3)
+            icfg = ALILQRConfig(n_outer=10, n_inner=20, tol_con=1e-3)
+            lid_kw = dict(solve_fn=lambda o, w: ilqr_solve(o, w, icfg))
+        t0 = time.time()
+        X, U, clr, gidx, done = jax.jit(functools.partial(
+            closed_loop_lidar, sim_obstacles=obstacles,
+            waypoints=sc.waypoint_array, max_steps=args.steps,
+            **lid_kw))(ocp)
+        X.block_until_ready()
+        wall = time.time() - t0
+        legs = int(np.asarray(gidx)[-1])
+        print(f"scenario      {args.scenario} (family I, {sc.num_rays} rays, "
+              f"N={ocp.N}, T={float(ocp.T):g})")
+        print(f"tour done     {bool(done)} ({legs}/{len(sc.waypoints)} legs)")
+        print(f"min clearance {float(np.min(np.asarray(clr))):.4f} "
+              f"(to the obstacle surface; ray bound {sc.robot_radius})")
+        print(f"wall clock    {wall:.1f} s (compile + {args.steps} steps)")
+        if args.save:
+            np.savez(args.save, X_hist=np.asarray(X), U_hist=np.asarray(U),
+                     clearance_hist=np.asarray(clr))
+            print(f"saved         {args.save}")
+        return 0 if bool(done) else 1
     solve_fn = None
     engine = args.engine
     if engine == "auto":
