@@ -234,3 +234,28 @@ def test_lidar_oracle_loop_replica_matches_driver():
     assert dev < 2e-3, dev
     # the pinned window must actually contain a goal advance (teeth)
     assert int(np.asarray(gidx)[-1]) >= 1
+
+
+@pytest.mark.slow
+def test_cl_parity_lidar_first_leg():
+    """Family-I loop-level parity at CI scale: the fixture-test config
+    (N=40, Nc=20) driving the first tour leg through the standard obstacle
+    world. The full published-config row lives in docs/CL_PARITY.md (via
+    tools/gen_cl_parity.py lidar_v4); this pins the same loop-level
+    agreement — leg completion, clearance above the ray keep-out, same
+    step-count class — at a cost the slow suite can afford (~2 min: the
+    f64 lidar oracle pays ~0.5 s per MPC step at Nc=20)."""
+    import dataclasses as dc
+
+    from gen_cl_parity import lidar_engine_loop, lidar_oracle_loop
+
+    sc = get("lidar_v4")
+    sc = dc.replace(sc, N=40, Nc=20, waypoints=(sc.waypoints[0],))
+    e = lidar_engine_loop(sc, sc.make(), max_steps=400)
+    o = lidar_oracle_loop(sc, max_steps=400, maxiter=100, log_every=0)
+    assert e["reached"], e
+    assert o["reached"], o
+    assert e["min_dist"] >= 0.15 - 1e-2, e["min_dist"]
+    assert o["min_dist"] >= 0.15 - 1e-2, o["min_dist"]
+    hi, lo = max(e["steps"], o["steps"]), min(e["steps"], o["steps"])
+    assert hi <= 2 * lo + 20, (e["steps"], o["steps"])
